@@ -1,0 +1,129 @@
+"""DuckDB fold oracle for the CDC log.
+
+Computes, independently of the engine, the expected final lake state (one
+live row per ``(repo, path)``, last-writer-wins by ``lsn``, deletes removing
+the key) and the expected derived aggregates. Used by pytest to assert
+per-row ``content`` sha256 equality — the correctness invariant from
+BASELINE.json.
+
+The fold mirrors the reference's ``unique_events`` dedup
+(``mod_load_data_get_data.sql:16,21-32``: ROW_NUMBER over the per-key order,
+keep rank 1) with the order reversed (last writer instead of first arrival),
+plus the MERGE-upsert semantics of ``update_user_map.sql:208-269``.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+
+from .wal import WalInfo
+
+
+def _wal_rel(con: duckdb.DuckDBPyConnection, wal: WalInfo) -> None:
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP VIEW wal AS
+        SELECT * FROM read_parquet([{files}], union_by_name=true)
+        """
+    )
+
+
+def expected_final_state(wal: WalInfo, *, with_sha: bool = True) -> pa.Table:
+    """Expected live table, sorted by (repo, path).
+
+    Columns: repo, path, commit, lang, content, size_bytes, lsn
+    [+ content_sha256 when ``with_sha``].
+    """
+    con = duckdb.connect()
+    _wal_rel(con, wal)
+    sha = ", sha256(content) AS content_sha256" if with_sha else ""
+    tbl = con.execute(
+        f"""
+        SELECT repo, path, "commit", lang, content,
+               CAST(size_bytes AS BIGINT) AS size_bytes, lsn{sha}
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+            FROM wal
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        ORDER BY repo, path
+        """
+    ).arrow()
+    con.close()
+    return tbl
+
+
+def expected_lang_daily(wal: WalInfo) -> pa.Table:
+    """Expected (day, lang) aggregate over distinct-LSN events (no dup double
+    counting): files_changed, bytes, distinct_repos."""
+    con = duckdb.connect()
+    _wal_rel(con, wal)
+    tbl = con.execute(
+        """
+        WITH uniq AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) rn
+                FROM wal) WHERE rn = 1
+        )
+        SELECT strftime(commit_ts, '%Y-%m-%d') AS day, lang,
+               COUNT(*) AS files_changed,
+               CAST(COALESCE(SUM(length(content)), 0) AS BIGINT) AS bytes,
+               COUNT(DISTINCT repo) AS distinct_repos
+        FROM uniq
+        WHERE op <> 'delete'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    ).arrow()
+    con.close()
+    return tbl
+
+
+def expected_repo_daily(wal: WalInfo) -> pa.Table:
+    """Expected (day, repo) aggregate over distinct-LSN events:
+    events, upserts, deletes, distinct_paths."""
+    con = duckdb.connect()
+    _wal_rel(con, wal)
+    tbl = con.execute(
+        """
+        WITH uniq AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) rn
+                FROM wal) WHERE rn = 1
+        )
+        SELECT strftime(commit_ts, '%Y-%m-%d') AS day, repo,
+               COUNT(*) AS events,
+               COUNT(*) FILTER (op <> 'delete') AS upserts,
+               COUNT(*) FILTER (op = 'delete') AS deletes,
+               COUNT(DISTINCT path) AS distinct_paths
+        FROM uniq
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    ).arrow()
+    con.close()
+    return tbl
+
+
+def expected_repo_live_files(wal: WalInfo) -> pa.Table:
+    """Expected (repo, live_files) snapshot after full replay."""
+    con = duckdb.connect()
+    _wal_rel(con, wal)
+    tbl = con.execute(
+        """
+        SELECT repo, COUNT(*) AS live_files
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+            FROM wal
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        GROUP BY repo
+        ORDER BY repo
+        """
+    ).arrow()
+    con.close()
+    return tbl

@@ -1,0 +1,274 @@
+"""Deterministic CDC-log (WAL / binlog) generator.
+
+Emits a change log over a table of source-code repositories with columns
+``(repo, path, commit, lang, content)`` wrapped in a CDC envelope
+``(lsn, op, commit_ts)`` — the engine's input per the north rule.
+
+Semantics modeled on the reference ingest edge:
+
+- globally monotonic ``lsn``; strict total order per ``(repo, path)`` — the
+  analog of the reference's (collector, enricher, load)_tstamp ordering triple
+  (``etl/dags/user_history/include/load/modules/mod_load_data_get_data.sql:16``);
+- replay **duplicates**: ~``dup_rate`` of events re-emitted verbatim (same lsn,
+  same payload) later in the stream — must be no-ops on apply, the analog of
+  the idempotent anti-join insert (``mod_data_insert.sql:5-6``);
+- bounded **out-of-order** delivery within ``ooo_window`` stream positions —
+  the analog of allowed lateness (``event_partition.py:28-66``);
+- **skew**: repo popularity ~ Zipf so one repo dominates (exercises the
+  engine's per-batch pre-reduction / salted sub-key handling);
+- additive **schema evolution**: events with ``lsn > evolve_lsn`` carry a new
+  nullable ``size_bytes:int64`` column; earlier segment files do not have the
+  column at all (``insert_user_history.sql:15-42`` semantics on apply).
+
+Everything is a pure function of ``seed`` + the size parameters: no
+wall-clock, no un-seeded randomness — so tests, the oracle and the engine all
+see byte-identical inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EXTS = ["py", "rs", "go", "js", "md", "txt", "c", "java"]
+EXT_TO_LANG = {
+    "py": "python",
+    "rs": "rust",
+    "go": "go",
+    "js": "javascript",
+    "md": "markdown",
+    "txt": "text",
+    "c": "c",
+    "java": "java",
+}
+
+# Epoch for commit_ts: fixed, so the log is a pure function of the seed.
+T0_US = pd.Timestamp("2024-01-01").value // 1000  # microseconds
+
+SEGMENT_GLOB = "seg-*.parquet"
+MANIFEST_NAME = "_segments.json"
+
+
+@dataclass
+class WalInfo:
+    """Summary of a generated WAL: segment files + per-segment lineage."""
+
+    wal_dir: str
+    n_events: int  # total emitted rows (incl. duplicate re-emits)
+    n_base_events: int  # distinct LSNs
+    evolve_lsn: int  # size_bytes exists for lsn > evolve_lsn (0 = from start)
+    segments: list[dict] = field(default_factory=list)
+
+    @property
+    def segment_files(self) -> list[str]:
+        return [s["file"] for s in self.segments]
+
+    def save(self) -> None:
+        tmp = os.path.join(self.wal_dir, MANIFEST_NAME + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "n_events": self.n_events,
+                    "n_base_events": self.n_base_events,
+                    "evolve_lsn": self.evolve_lsn,
+                    "segments": self.segments,
+                },
+                f,
+                indent=1,
+            )
+        os.replace(tmp, os.path.join(self.wal_dir, MANIFEST_NAME))
+
+    @staticmethod
+    def load(wal_dir: str) -> "WalInfo":
+        with open(os.path.join(wal_dir, MANIFEST_NAME)) as f:
+            d = json.load(f)
+        return WalInfo(
+            wal_dir=wal_dir,
+            n_events=d["n_events"],
+            n_base_events=d["n_base_events"],
+            evolve_lsn=d["evolve_lsn"],
+            segments=d["segments"],
+        )
+
+
+def _content_pool(rng: np.random.RandomState, n_blocks: int, min_len: int, max_len: int) -> np.ndarray:
+    """A pool of deterministic pseudo-source text blocks with geometric sizes.
+
+    Per-row unique content comes from a per-event header line prepended to a
+    pool block, so generation stays fully vectorized (no per-row hashing).
+    """
+    alphabet = np.array(list(string.ascii_lowercase + "_ ():=\n"), dtype="U1")
+    sizes = np.geomspace(max(min_len, 8), max(max_len, min_len + 1), n_blocks).astype(np.int64)
+    blocks = []
+    for sz in sizes:
+        chars = alphabet[rng.randint(0, len(alphabet), int(sz))]
+        blocks.append("".join(chars.tolist()))
+    return np.array(blocks, dtype=object)
+
+
+def generate_wal(
+    wal_dir: str,
+    *,
+    seed: int = 42,
+    n_events: int = 100_000,
+    n_repos: int = 50,
+    paths_per_repo: int = 400,
+    zipf_s: float = 1.1,
+    delete_rate: float = 0.05,
+    dup_rate: float = 0.02,
+    ooo_window: int = 2_000,
+    evolve_at_frac: float = 0.6,
+    segment_rows: int = 50_000,
+    content_min: int = 64,
+    content_max: int = 4_096,
+    days_span: int = 30,
+    overwrite: bool = False,
+) -> WalInfo:
+    """Generate a deterministic CDC log under ``wal_dir/``.
+
+    Returns a :class:`WalInfo`; also persists it as ``_segments.json`` (the
+    segment lineage manifest the engine's source discovery reads).
+    """
+    manifest_path = os.path.join(wal_dir, MANIFEST_NAME)
+    if os.path.exists(manifest_path) and not overwrite:
+        return WalInfo.load(wal_dir)
+
+    os.makedirs(wal_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    n = int(n_events)
+
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+
+    # --- keys: Zipf-skewed repo, uniform path within repo -------------------
+    repo_idx = (rng.zipf(zipf_s, n) - 1) % n_repos
+    path_idx = rng.randint(0, paths_per_repo, n)
+
+    repo_names = np.array([f"org{r % 7}/repo{r:03d}" for r in range(n_repos)], dtype=object)
+    # path string depends on (repo, path) so extensions vary per repo too
+    ext_idx = (repo_idx * 31 + path_idx) % len(EXTS)
+    ext_arr = np.array(EXTS, dtype=object)[ext_idx]
+    repo_s = pd.Series(repo_names[repo_idx], dtype=object)
+    path_s = (
+        "src/m"
+        + pd.Series((path_idx // 50).astype(str), dtype=object)
+        + "/f"
+        + pd.Series((path_idx % 50).astype(str), dtype=object)
+        + "."
+        + pd.Series(ext_arr, dtype=object)
+    )
+    lang_s = pd.Series(ext_arr, dtype=object).map(EXT_TO_LANG)
+
+    # --- ops ----------------------------------------------------------------
+    is_delete = rng.random_sample(n) < delete_rate
+    key_id = repo_idx.astype(np.int64) * (paths_per_repo + 1) + path_idx
+    _, first_pos = np.unique(key_id, return_index=True)
+    is_first = np.zeros(n, dtype=bool)
+    is_first[first_pos] = True
+    op = np.where(is_delete, "delete", np.where(is_first, "insert", "update")).astype(object)
+
+    # --- payload ------------------------------------------------------------
+    commit_s = pd.Series(np.char.mod("%040x", lsn), dtype=object)
+    pool = _content_pool(rng, 64, content_min, content_max)
+    header = (
+        "// "
+        + repo_s
+        + "/"
+        + path_s
+        + " @ "
+        + pd.Series(lsn).astype(str)
+        + "\n"
+    )
+    content_s = header + pd.Series(pool[lsn % len(pool)], dtype=object)
+
+    null_payload = is_delete
+    commit_s = commit_s.mask(null_payload)
+    lang_out = lang_s.mask(null_payload)
+    content_out = content_s.mask(null_payload)
+
+    # --- event time: monotone with lsn, spans days_span days ----------------
+    step_us = max(1, int(days_span * 86_400_000_000 // max(n, 1)))
+    ts_us = T0_US + lsn * step_us
+
+    evolve_lsn = int(n * evolve_at_frac) if evolve_at_frac > 0 else 0
+    size_bytes = content_out.str.len().astype("float64").to_numpy()  # NaN where null
+
+    base = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "repo": repo_s,
+            "path": path_s,
+            "commit": commit_s,
+            "lang": lang_out,
+            "content": content_out,
+            "commit_ts": ts_us,
+            "_size": size_bytes,
+        }
+    )
+
+    # --- duplicates + bounded out-of-order stream order ---------------------
+    pos = np.arange(n, dtype=np.float64)
+    jitter = rng.randint(0, max(ooo_window // 4, 1), n)
+    sort_key = pos + jitter
+
+    n_dups = int(n * dup_rate)
+    if n_dups:
+        dup_src = rng.choice(np.arange(int(n * 0.9)), size=n_dups, replace=False)
+        dups = base.iloc[dup_src].copy()
+        dup_key = pos[dup_src] + rng.randint(1, max(ooo_window, 2), n_dups) + 0.5
+        stream = pd.concat(
+            [base.assign(_k=sort_key), dups.assign(_k=dup_key)], ignore_index=True
+        )
+    else:
+        stream = base.assign(_k=sort_key)
+    stream = stream.sort_values("_k", kind="mergesort").drop(columns="_k").reset_index(drop=True)
+
+    # --- write segments -----------------------------------------------------
+    info = WalInfo(
+        wal_dir=wal_dir,
+        n_events=len(stream),
+        n_base_events=n,
+        evolve_lsn=evolve_lsn,
+    )
+    for seq, start in enumerate(range(0, len(stream), segment_rows)):
+        seg = stream.iloc[start : start + segment_rows]
+        has_evo = evolve_lsn > 0 and bool((seg["lsn"] > evolve_lsn).any())
+        cols = {
+            "lsn": pa.array(seg["lsn"].to_numpy(), pa.int64()),
+            "op": pa.array(seg["op"], pa.string()),
+            "repo": pa.array(seg["repo"], pa.string()),
+            "path": pa.array(seg["path"], pa.string()),
+            "commit": pa.array(seg["commit"], pa.string()),
+            "lang": pa.array(seg["lang"], pa.string()),
+            "content": pa.array(seg["content"], pa.string()),
+            "commit_ts": pa.array(seg["commit_ts"].to_numpy(), pa.timestamp("us")),
+        }
+        if has_evo:
+            sz = seg["_size"].where(seg["lsn"] > evolve_lsn, np.nan)
+            cols["size_bytes"] = pa.Array.from_pandas(sz, type=pa.int64())
+        tbl = pa.table(cols)
+        fname = f"seg-{seq:08d}.parquet"
+        fpath = os.path.join(wal_dir, fname)
+        pq.write_table(tbl, fpath + ".tmp", compression="zstd")
+        os.replace(fpath + ".tmp", fpath)
+        info.segments.append(
+            {
+                "file": fpath,
+                "seqno": seq,
+                "min_lsn": int(seg["lsn"].min()),
+                "max_lsn": int(seg["lsn"].max()),
+                "rows": len(seg),
+                "has_size_bytes": has_evo,
+                "min_ts_us": int(seg["commit_ts"].min()),
+                "max_ts_us": int(seg["commit_ts"].max()),
+            }
+        )
+    info.save()
+    return info
