@@ -1,0 +1,106 @@
+"""The merge applier: per-bucket stateful last-writer-wins upsert.
+
+This is the engine's heart — the analog of the reference's daily state fold
+(yesterday's ``user_history`` LEFT JOIN today's deltas, then delete+insert of
+the partition, ``insert_user_history.sql:227-311``) and the keyed MERGE
+upsert (``update_user_map.sql:208-269``) — re-expressed as a callable class
+run by ``groupby(bucket).map_groups(MergeApplier, concurrency=N)``:
+
+- one *group* = all (already batch-pre-reduced) delta rows of one hash
+  bucket; state for the bucket is hydrated from the lake partition named by
+  the bucket's lineage manifest (never shuffled — state stays partitioned on
+  the same key across ticks, SURVEY.md §4);
+- merge = Arrow concat(state, deltas) → ``last_writer`` per (repo, path) by
+  LSN — replay duplicates and already-applied events are no-ops by
+  monotonicity (``mod_data_insert.sql:5-6`` semantics);
+- deletes become tombstones (``deleted=true``, payload null) so a late
+  out-of-order update with a lower LSN than an applied delete cannot
+  resurrect the row; tombstones are filtered at export and can be GC'd below
+  the global low-watermark minus allowed lateness;
+- additive schema evolution: state and deltas are both promoted to the
+  unified schema with null backfill before the merge
+  (``insert_user_history.sql:15-42`` semantics);
+- output: the new full bucket state written via tmp + atomic rename
+  (two-phase commit step 1), and a 1-row manifest table returned to the
+  driver for the commit step.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .dedup import KEYS, last_writer
+from .lineage import LakeLineage
+from .partitioning import BUCKET_COL
+from .schema_evo import align_to, unify_schemas
+
+DELETED_COL = "deleted"
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("tick", pa.int32()),
+        ("applied_lsn", pa.int64()),
+        ("rows", pa.int64()),
+        ("live_rows", pa.int64()),
+        ("delta_rows", pa.int64()),
+        ("data_file", pa.string()),
+    ]
+)
+
+
+def deltas_to_state_shape(deltas: pa.Table) -> pa.Table:
+    """CDC envelope → state-row shape: op → deleted flag, drop op."""
+    deleted = pc.equal(deltas["op"], "delete")
+    out = deltas.drop_columns(["op"])
+    return out.append_column(DELETED_COL, deleted)
+
+
+class MergeApplier:
+    def __init__(self, lake_dir: str, tick: int, schema_ser: bytes):
+        # once per actor: lineage handles + deserialized target schema
+        self.lineage = LakeLineage(lake_dir)
+        self.tick = tick
+        self.target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return MANIFEST_SCHEMA.empty_table()
+        bucket = group[BUCKET_COL][0].as_py()
+        deltas = align_to(group.drop_columns([BUCKET_COL]), self.target)
+
+        man = self.lineage.bucket_manifest(bucket)
+        if man is not None:
+            state = pq.read_table(man["data_file"])
+            merged_schema = unify_schemas([state.schema, deltas.schema])
+            state = align_to(state, merged_schema)
+            deltas = align_to(deltas, merged_schema)
+            # state first, deltas after → exact-LSN replay ties resolve to the
+            # (identical) delta row; deterministic either way.
+            merged = pa.concat_tables([state, deltas])
+        else:
+            merged = deltas
+        merged = last_writer(merged, keys=KEYS)
+        merged = merged.sort_by([(k, "ascending") for k in KEYS])
+
+        out_path = self.lineage.bucket_state_path(bucket, self.tick)
+        tmp = out_path + f".{os.getpid()}.tmp"
+        pq.write_table(merged, tmp, compression="zstd")
+        os.replace(tmp, out_path)
+
+        live = merged.num_rows - pc.sum(merged[DELETED_COL]).as_py()
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "tick": pa.array([self.tick], pa.int32()),
+                "applied_lsn": pa.array([pc.max(merged["lsn"]).as_py()], pa.int64()),
+                "rows": pa.array([merged.num_rows], pa.int64()),
+                "live_rows": pa.array([live], pa.int64()),
+                "delta_rows": pa.array([group.num_rows], pa.int64()),
+                "data_file": pa.array([out_path], pa.string()),
+            }
+        )

@@ -1,0 +1,66 @@
+"""Final-state export: the live lake table as a Dataset, plus content sha256.
+
+The per-row ``content`` sha256 is the correctness invariant (BASELINE.json);
+the hashing stage is the direct descendant of the reference's pseudonymizer
+(``mod_load_data_gdpr.sql:39,52``: ``TO_BASE64(SHA256(CAST(col AS STRING)))``
+per configured column) — a stateless ``map_batches`` over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .apply import DELETED_COL
+from .lineage import LakeLineage
+from .schema_evo import align_to, unify_schemas
+
+
+def sha256_column(col: pa.ChunkedArray | pa.Array, *, out_name: str = "content_sha256") -> pa.Array:
+    """Hex sha256 per row; null in → null out. Tight loop over Arrow buffers
+    (no vectorized sha exists in numpy/pyarrow; hashlib's C core per row)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out: list[str | None] = []
+    sha = hashlib.sha256
+    for v in col:
+        buf = v.as_buffer() if v.is_valid else None
+        out.append(sha(buf).hexdigest() if buf is not None else None)
+    return pa.array(out, pa.string())
+
+
+def add_content_sha(batch: pa.Table) -> pa.Table:
+    return batch.append_column("content_sha256", sha256_column(batch["content"]))
+
+
+def final_state(
+    lake_dir: str, *, with_sha: bool = False, include_tombstones: bool = False
+) -> ray.data.Dataset:
+    """Dataset over the current committed lake state (manifest-listed files
+    only — uncommitted staging files are invisible, per the 2-phase commit)."""
+    lineage = LakeLineage(lake_dir)
+    manifests = lineage.all_bucket_manifests()
+    files = [m["data_file"] for m in manifests]
+    if not files:
+        raise FileNotFoundError(f"no committed bucket manifests under {lake_dir}")
+
+    # schema evolution: old buckets may predate new columns — unify + align
+    import pyarrow.parquet as pq
+
+    target = unify_schemas([pq.read_schema(f) for f in files])
+
+    ds = ray.data.read_parquet(files)
+    ds = ds.map_batches(
+        lambda t: align_to(t, target), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if not include_tombstones:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t[DELETED_COL], False)).drop_columns([DELETED_COL]),
+            batch_format="pyarrow",
+        )
+    if with_sha:
+        ds = ds.map_batches(add_content_sha, batch_format="pyarrow", zero_copy_batch=True)
+    return ds

@@ -1,0 +1,134 @@
+"""Per-partition lineage manifests and the two-phase commit protocol.
+
+Reference analogs: the skip-if-already-loaded guard
+(``mod_load_data_declare.sql:30-36``), the temp-table → INSERT SELECT → DROP
+two-phase write (``spark_job_data_locker.py:447-469``), and the datasource
+freshness PUT (``lib/datasource.py:22-24``).
+
+Lake layout::
+
+    lake/
+      buckets/b=00017/state-t000003.parquet    full bucket state as of tick 3
+      _manifests/bucket-00017.json             {bucket, tick, applied_lsn, rows,
+                                                live_rows, data_file, schema}
+      _ticks/tick-000003.json                  {tick, through_seqno,
+                                                applied_through_lsn, stats}
+      _aggs/<table>/day=YYYY-MM-DD.parquet     per-day aggregate partitions
+
+Commit protocol (crash-safe on a POSIX FS; on a real cluster this directory
+is shared storage and the driver is the single committer):
+
+1. bucket appliers write ``state-t{tick}.parquet`` via tmp + ``os.replace``
+   (atomic rename). Old tick's files are untouched.
+2. after the whole Dataset execution succeeds, the driver atomically
+   publishes each bucket manifest (tmp + rename), then
+3. publishes the tick manifest — the single commit point.
+4. files no longer referenced by any bucket manifest are GC'd on the next
+   tick start.
+
+A crash anywhere before (3) leaves the previous tick authoritative; re-running
+the tick re-applies the same deltas, which is a no-op by LWW monotonicity —
+exactly-once by idempotence, as in the reference's delete-partition-then-insert
+(``insert_user_history.sql:301-311``).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class LakeLineage:
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+        self.buckets_dir = os.path.join(lake_dir, "buckets")
+        self.manifests_dir = os.path.join(lake_dir, "_manifests")
+        self.ticks_dir = os.path.join(lake_dir, "_ticks")
+        self.aggs_dir = os.path.join(lake_dir, "_aggs")
+        for d in (self.buckets_dir, self.manifests_dir, self.ticks_dir, self.aggs_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- bucket state files --------------------------------------------------
+
+    def bucket_dir(self, bucket: int) -> str:
+        d = os.path.join(self.buckets_dir, f"b={bucket:05d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def bucket_state_path(self, bucket: int, tick: int) -> str:
+        return os.path.join(self.bucket_dir(bucket), f"state-t{tick:06d}.parquet")
+
+    # -- bucket manifests ----------------------------------------------------
+
+    def _bucket_manifest_path(self, bucket: int) -> str:
+        return os.path.join(self.manifests_dir, f"bucket-{bucket:05d}.json")
+
+    def bucket_manifest(self, bucket: int) -> dict | None:
+        p = self._bucket_manifest_path(bucket)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def all_bucket_manifests(self) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.manifests_dir, "bucket-*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    def publish_bucket(self, manifest: dict) -> None:
+        self._bucket_manifest_path(manifest["bucket"])
+        _atomic_write_json(self._bucket_manifest_path(manifest["bucket"]), manifest)
+
+    # -- tick manifests (the commit point) -----------------------------------
+
+    def last_tick(self) -> dict | None:
+        ticks = sorted(glob.glob(os.path.join(self.ticks_dir, "tick-*.json")))
+        if not ticks:
+            return None
+        with open(ticks[-1]) as f:
+            return json.load(f)
+
+    def publish_tick(self, tick: dict) -> None:
+        _atomic_write_json(
+            os.path.join(self.ticks_dir, f"tick-{tick['tick']:06d}.json"), tick
+        )
+
+    # -- GC -------------------------------------------------------------------
+
+    def gc(self) -> int:
+        """Delete bucket state files not referenced by the current manifests.
+        Returns number of files removed. Only called at tick start, so any
+        in-flight staging files belong to a tick that will re-run anyway."""
+        live = {m["data_file"] for m in self.all_bucket_manifests()}
+        removed = 0
+        for p in glob.glob(os.path.join(self.buckets_dir, "b=*", "state-t*.parquet")):
+            if p not in live:
+                os.remove(p)
+                removed += 1
+        for p in glob.glob(os.path.join(self.buckets_dir, "b=*", "*.tmp")):
+            os.remove(p)
+            removed += 1
+        return removed
+
+    # -- aggregate partitions -------------------------------------------------
+
+    def agg_day_path(self, table: str, day: str) -> str:
+        d = os.path.join(self.aggs_dir, table)
+        os.makedirs(d, exist_ok=True)
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
+            raise ValueError(f"bad day partition: {day!r}")
+        return os.path.join(d, f"day={day}.parquet")
+
+    def agg_day_files(self, table: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.aggs_dir, table, "day=*.parquet")))

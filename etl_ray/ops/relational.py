@@ -1,0 +1,276 @@
+"""Relational operators over the TPC-H-ish tables — joins, aggregates,
+set ops, sorts — each the Ray-Data expression of a reference operator class.
+
+Scale notes per op are in the docstrings; the shared conventions (read-time
+column pruning, per-batch partial aggregation, broadcast small sides,
+rounded float outputs) are in ``ops.common``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .common import keep_extreme, partial_groupby, read, read_arrow, round_cols
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-style wide aggregate (A4/A8/A10 analog: grouped SUM/AVG/COUNT
+    rollups, ``insert_user_history.sql:92-118``).
+
+    Per-batch Arrow partials → tiny groupby; AVGs derived from SUM/COUNT on
+    the driver (exact), floats rounded for cross-engine hash equality.
+    """
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "l_discount": t["l_discount"],
+                "disc_price": disc,
+                "charge": charge,
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_groupby(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc_price": ("disc_price", "sum"),
+            "sum_charge": ("charge", "sum"),
+            "sum_disc": ("l_discount", "sum"),
+        },
+        count_col="count_order",
+    )
+    df = out.to_pandas()
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df["avg_price"] = df["sum_base_price"] / df["count_order"]
+    df["avg_disc"] = df["sum_disc"] / df["count_order"]
+    df = df.drop(columns=["sum_disc"])
+    df = round_cols(
+        df,
+        {
+            "sum_qty": 2,
+            "sum_base_price": 2,
+            "sum_disc_price": 2,
+            "sum_charge": 2,
+            "avg_qty": 6,
+            "avg_price": 6,
+            "avg_disc": 6,
+        },
+    )
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+class _DimJoiner:
+    """Broadcast dim join (J3 analog: ``insert_user_history.sql:102-108``).
+
+    The dimension (custkey → nation/region names) is built ONCE on the
+    driver, ``ray.put`` once, and materialized per actor in ``__init__`` as a
+    dense numpy lookup (custkeys are dense ints) — no shuffle, no per-batch
+    re-ship.
+    """
+
+    def __init__(self, ref):
+        cust_key, nation_arr, region_arr = ray.get(ref)
+        self.size = cust_key.max() + 1
+        self.nation = np.full(self.size, "", dtype=object)
+        self.region = np.full(self.size, "", dtype=object)
+        self.nation[cust_key] = nation_arr
+        self.region[cust_key] = region_arr
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_numpy()
+        return pa.table(
+            {
+                "region": pa.array(self.region[keys], pa.string()),
+                "nation": pa.array(self.nation[keys], pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+
+def revenue_by_region(sf_dir: str) -> pd.DataFrame:
+    """Orders → customer → nation → region broadcast join + grouped rollup."""
+    cust = read_arrow(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_arrow(sf_dir, "nation").to_pandas()
+    region = read_arrow(sf_dir, "region").to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    ref = ray.put(
+        (
+            dim["c_custkey"].to_numpy(),
+            dim["n_name"].to_numpy(),
+            dim["r_name"].to_numpy(),
+        )
+    )
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        _DimJoiner, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=(1, 4)
+    )
+    out = partial_groupby(
+        ds,
+        ["region", "nation"],
+        {"revenue": ("o_totalprice", "sum")},
+        count_col="orders",
+    )
+    df = out.to_pandas()
+    df = round_cols(df, {"revenue": 2})
+    return df.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (J5 analog:
+    ``insert_user_history.sql:307-311``). At 100 TB the broadcast set becomes
+    a Bloom filter + verify pass; here the distinct key set is small."""
+    okeys = read_arrow(sf_dir, "orders", ["o_custkey"])
+    key_set = ray.put(set(pc.unique(okeys["o_custkey"]).to_pylist()))
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(key_set)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys for k in t["c_custkey"].to_pylist()])
+            return t.filter(mask)
+
+    ds = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    ds = ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
+    return ds.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Global top-k (§2.6: the engine adds what the reference delegates to
+    SQL ORDER BY). Ray sort is a shuffle; k rows materialize."""
+    ds = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    df = out.to_pandas()
+    return round_cols(df, {"o_totalprice": 2})
+
+
+def part_brand_union(sf_dir: str) -> pd.DataFrame:
+    """UNION ALL of two filtered projections + grouped count (D7 analog:
+    ``update_user_map.sql:31-141`` 5-way union)."""
+    a = read(sf_dir, "part", columns=["p_brand", "p_size"]).map_batches(
+        lambda t: t.filter(pc.greater(t["p_size"], 25)).select(["p_brand"]),
+        batch_format="pyarrow",
+    )
+    b = read(sf_dir, "part", columns=["p_brand", "p_retailprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["p_retailprice"], 1500.0)).select(["p_brand"]),
+        batch_format="pyarrow",
+    )
+    out = partial_groupby(a.union(b), ["p_brand"], {}, count_col="n")
+    return out.to_pandas().sort_values("p_brand").reset_index(drop=True)
+
+
+def monthly_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Month-truncated rollup (M9 analog:
+    ``insert_user_history_derivates.sql:26-45`` DATE_TRUNC views)."""
+    ds = read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t["o_orderdate"], format="%Y-%m-01")
+        return pa.table({"month": month, "o_totalprice": t["o_totalprice"]})
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_groupby(ds, ["month"], {"revenue": ("o_totalprice", "sum")}, count_col="orders")
+    df = round_cols(out.to_pandas(), {"revenue": 2})
+    return df.sort_values("month").reset_index(drop=True)
+
+
+def latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Latest-batch-winner dedup (D5 analog: ``spark_job_cost_etl.py:357-370``
+    ROW_NUMBER desc = 1): one row per customer, max (o_orderdate, o_orderkey)."""
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = keep_extreme(ds, ["o_custkey"], ["o_orderdate", "o_orderkey"], keep="last")
+    df = out.to_pandas()
+    df["o_orderdate"] = df["o_orderdate"].dt.strftime("%Y-%m-%d")
+    df = round_cols(df, {"o_totalprice": 2})
+    return df.sort_values("o_custkey").reset_index(drop=True)[
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ]
+
+
+def orders_asof_last_event(sf_dir: str) -> pd.DataFrame:
+    """As-of join (D6 analog — latest version with ``updated_at <= date``,
+    ``insert_user_history.sql:71-89``): for each event, the most recent order
+    of the same key with o_orderdate <= ts.
+
+    Ray expression: bucket both sides by hash(key) — the same co-partitioning
+    trick as the engine's state join — then ``pd.merge_asof`` per bucket.
+    Orders are deduped to one per (custkey, orderdate) first so the as-of
+    winner is deterministic in both engines.
+    """
+    events = read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).to_pandas()
+    orders = read_arrow(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    orders = (
+        orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        .drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+    )
+
+    n_buckets = 8
+    events["__b"] = (events["user_id"] % n_buckets).astype("int32")
+    orders["__b"] = (orders["o_custkey"] % n_buckets).astype("int32")
+    orders_ref = ray.put({b: g.drop(columns="__b") for b, g in orders.groupby("__b")})
+
+    def asof_join(g: pd.DataFrame) -> pd.DataFrame:
+        orders_by_b = ray.get(orders_ref)  # plasma-cached per worker
+        b = int(g["__b"].iloc[0])
+        o = orders_by_b.get(b)
+        g = g.sort_values("ts", kind="mergesort")
+        if o is None or len(o) == 0:
+            g = g.drop(columns="__b").copy()
+            g["o_orderkey"] = pd.array([None] * len(g), dtype="Int64")
+            return g[["event_id", "user_id", "ts", "o_orderkey"]]
+        o = o.sort_values("o_orderdate", kind="mergesort")
+        m = pd.merge_asof(
+            g,
+            o,
+            left_on="ts",
+            right_on="o_orderdate",
+            left_by="user_id",
+            right_by="o_custkey",
+            direction="backward",
+        )
+        m["o_orderkey"] = m["o_orderkey"].astype("Int64")
+        return m[["event_id", "user_id", "ts", "o_orderkey"]]
+
+    ds = ray.data.from_pandas(events)
+    out = ds.groupby("__b").map_groups(asof_join, batch_format="pandas")
+    df = out.to_pandas()
+    from .common import epoch_us
+
+    df["ts_us"] = epoch_us(df["ts"])
+    return (
+        df[["event_id", "user_id", "ts_us", "o_orderkey"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,114 @@
+"""End-to-end replay correctness: engine final state == DuckDB oracle,
+per-row content sha256 equality (the BASELINE.json invariant), idempotent
+re-apply, multi-tick == single-tick, resume mid-replay, crash injection."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from etl_ray.engine import ReplayEngine
+from etl_ray.engine.export import final_state
+from etl_ray.oracle import expected_final_state
+
+
+def _state_df(lake_dir: str, with_sha: bool = True) -> pd.DataFrame:
+    ds = final_state(lake_dir, with_sha=with_sha)
+    df = ds.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    return df
+
+
+def _assert_matches_oracle(lake_dir: str, wal):
+    exp = expected_final_state(wal).to_pandas().reset_index(drop=True)
+    got = _state_df(lake_dir)
+    assert len(got) == len(exp), f"row count {len(got)} != oracle {len(exp)}"
+    for col in ["repo", "path", "commit", "lang", "lsn"]:
+        pd.testing.assert_series_equal(
+            got[col], exp[col], check_names=False, obj=col
+        )
+    # THE invariant: per-row content sha256 equality
+    assert (got["content_sha256"] == exp["content_sha256"]).all()
+    # schema evolution: size_bytes equal incl. null backfill on old rows
+    pd.testing.assert_series_equal(
+        got["size_bytes"].astype("Int64"),
+        exp["size_bytes"].astype("Int64"),
+        check_names=False,
+    )
+    assert exp["size_bytes"].isna().any(), "fixture must exercise null backfill"
+    assert exp["size_bytes"].notna().any()
+
+
+def test_single_tick_replay(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    res = eng.replay_all()
+    assert len(res) == 1
+    assert res[0].events == small_wal.n_events
+    _assert_matches_oracle(lake, small_wal)
+
+
+def test_multi_tick_and_resume(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    # first engine instance applies 2 segments then "dies"
+    eng1 = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    r1 = eng1.tick(max_segments=2)
+    assert r1 is not None and r1.tick == 0
+    # a NEW engine instance resumes from lineage manifests alone
+    eng2 = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    res = eng2.replay_all(segments_per_tick=1)
+    assert len(res) >= 1
+    assert all(r.tick == i + 1 for i, r in enumerate(res))
+    _assert_matches_oracle(lake, small_wal)
+
+
+def test_replay_twice_is_noop(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    eng.replay_all()
+    h1 = hashlib.sha256(
+        pd.util.hash_pandas_object(_state_df(lake), index=False).to_numpy().tobytes()
+    ).hexdigest()
+    assert eng.tick() is None  # watermark: nothing pending
+
+    # force a re-apply of the last segments by rolling the watermark back:
+    # monotone LWW must make it byte-identical
+    last = eng.lineage.last_tick()
+    rolled = dict(last, tick=last["tick"] + 1, through_seqno=last["through_seqno"] - 2)
+    eng.lineage.publish_tick(rolled)
+    r = eng.tick()
+    assert r is not None
+    h2 = hashlib.sha256(
+        pd.util.hash_pandas_object(_state_df(lake), index=False).to_numpy().tobytes()
+    ).hexdigest()
+    assert h1 == h2
+    _assert_matches_oracle(lake, small_wal)
+
+
+def test_crash_mid_commit_then_resume(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    eng.tick(max_segments=2)
+
+    # crash after publishing only 3 bucket manifests of the next tick
+    bad = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, fail_after_buckets=3
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bad.tick()
+    # previous tick still authoritative; resume with a fresh engine
+    eng3 = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    res = eng3.replay_all()
+    assert res, "resume must reprocess the crashed tick"
+    _assert_matches_oracle(lake, small_wal)
+
+
+def test_tombstones_block_late_updates(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    ds = final_state(lake, include_tombstones=True)
+    df = ds.to_pandas()
+    assert df["deleted"].any(), "fixture must produce tombstones"
+    dead = df[df["deleted"]]
+    assert dead["content"].isna().all()
