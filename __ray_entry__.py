@@ -1,44 +1,373 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay on sf0.001; ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (same column names; floats rounded identically; timestamps as int64
+epoch-us; days as 'YYYY-MM-DD' strings — see etl_ray/ops/common.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
+
+# ---------------------------------------------------------------------------
+# CDC flagship: deterministic WAL sized by scale factor, replayed to a lake
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/tmp/etl_ray"
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+def _wal_events_for(sf_dir: str) -> int:
+    tag = _sf_tag(sf_dir)
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    return int(min(max(5_000_000 * sf, 20_000), 2_000_000))
+
+
+def _ensure_wal(sf_dir: str):
+    from etl_ray.wal import generate_wal
+
+    n = _wal_events_for(sf_dir)
+    wal_dir = os.path.join(_SCRATCH, f"wal-{_sf_tag(sf_dir)}-{n}")
+    return generate_wal(
+        wal_dir,
+        seed=42,
+        n_events=n,
+        n_repos=max(50, n // 2_000),
+        paths_per_repo=400,
+        dup_rate=0.02,
+        delete_rate=0.05,
+        ooo_window=2_000,
+        evolve_at_frac=0.6,
+        segment_rows=max(10_000, n // 16),
+        content_min=64,
+        content_max=2_048,
+        days_span=30,
+    )
+
+
+_REPLAY_CACHE: dict[str, tuple] = {}
+
+
+def _replay(sf_dir: str):
+    """Replay the WAL for this sf into a fresh lake; return (wal, lake_dir).
+    Memoized per process so the three cdc_* queries share one replay."""
+    tag = _sf_tag(sf_dir)
+    if tag in _REPLAY_CACHE:
+        return _REPLAY_CACHE[tag]
+    from etl_ray.engine import ReplayEngine
+
+    wal = _ensure_wal(sf_dir)
+    lake = os.path.join(_SCRATCH, f"lake-{tag}-{wal.n_base_events}")
+    shutil.rmtree(lake, ignore_errors=True)
+    eng = ReplayEngine(wal.wal_dir, lake, num_buckets=32, concurrency=4)
+    eng.replay_all()
+    _REPLAY_CACHE[tag] = (wal, lake)
+    return wal, lake
+
+
+def cdc_final_state(sf_dir: str):
+    """The flagship pipeline (north rule): CDC log → hash-partitioned LWW
+    replay with tombstones, schema evolution, 2-phase commits → live table
+    with per-row content sha256."""
+    from etl_ray.engine.export import final_state
+
+    _, lake = _replay(sf_dir)
+    ds = final_state(lake, with_sha=True)
+    df = ds.to_pandas()
+    df = df.drop(columns=["content"])  # keep the result light; sha carries it
+    df["size_bytes"] = df["size_bytes"].astype("Int64")
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def cdc_lang_daily(sf_dir: str):
+    from etl_ray.engine.aggregates import read_agg
+    from etl_ray.engine.lineage import LakeLineage
+
+    _, lake = _replay(sf_dir)
+    df = read_agg(LakeLineage(lake), "lang_daily_agg").to_pandas()
+    return df.sort_values(["day", "lang"]).reset_index(drop=True)
+
+
+def cdc_repo_daily(sf_dir: str):
+    from etl_ray.engine.aggregates import read_agg
+    from etl_ray.engine.lineage import LakeLineage
+
+    _, lake = _replay(sf_dir)
+    df = read_agg(LakeLineage(lake), "repo_daily_agg").to_pandas()
+    return df.sort_values(["day", "repo"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return cdc_final_state("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from etl_ray.ops import dedup_text as dd
+    from etl_ray.ops import events as ev
+    from etl_ray.ops import multimodal as mm
+    from etl_ray.ops import relational as rel
+    from etl_ray.ops import similarity as sim
+    from etl_ray.ops import text as tx
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC engine (pytest-oracled via DuckDB fold; rows-only here)
+        "cdc_final_state": cdc_final_state,
+        "cdc_lang_daily": cdc_lang_daily,
+        "cdc_repo_daily": cdc_repo_daily,
+        # relational ops
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "revenue_by_region": rel.revenue_by_region,
+        "customers_without_orders": rel.customers_without_orders,
+        "top_orders": rel.top_orders,
+        "part_brand_union": rel.part_brand_union,
+        "monthly_order_totals": rel.monthly_order_totals,
+        "latest_order_per_customer": rel.latest_order_per_customer,
+        "orders_asof_last_event": rel.orders_asof_last_event,
+        # event-stream ops
+        "events_dedup_first": ev.events_dedup_first,
+        "events_latest_per_user": ev.events_latest_per_user,
+        "user_daily_activity": ev.user_daily_activity,
+        "sessionize": ev.sessionize,
+        "rolling_active_days": ev.rolling_active_days,
+        "event_gap_stats": ev.event_gap_stats,
+        "events_pseudonymized": ev.events_pseudonymized,
+        "events_json_extract": ev.events_json_extract,
+        "events_cleaned": ev.events_cleaned,
+        # text analysis
+        "doc_token_stats": tx.doc_token_stats,
+        "lang_doc_summary": tx.lang_doc_summary,
+        "doc_fingerprint": tx.doc_fingerprint,
+        "doc_quality_scores": tx.doc_quality_scores,
+        "doc_lang_id": tx.doc_lang_id,
+        "doc_winnow_fingerprints": tx.doc_winnow_fingerprints,
+        # dedup families
+        "doc_exact_dedup": dd.doc_exact_dedup,
+        "doc_minhash_signatures": dd.doc_minhash_signatures,
+        "doc_minhash_lsh_pairs": dd.doc_minhash_lsh_pairs,
+        "doc_simhash": dd.doc_simhash,
+        "doc_ngram_jaccard_topk": dd.doc_ngram_jaccard_matrix,
+        # similarity search
+        "emb_knn_bruteforce": sim.emb_knn_bruteforce,
+        "emb_lsh_buckets": sim.emb_lsh_buckets,
+        "emb_lsh_ann": sim.emb_lsh_ann,
+        "emb_label_centroid_norm": sim.emb_label_centroid_norm,
+        # multimodal plumbing
+        "media_features": mm.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0), 2) AS sum_disc_price,
+                   ROUND(SUM(FLOOR((FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0) * (1 + l_tax) * 100.0 + 0.5) / 100.0), 2) AS sum_charge,
+                   COUNT(*) AS count_order,
+                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 6) AS avg_price,
+                   ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "revenue_by_region": """
+            SELECT r_name AS region, n_name AS nation,
+                   ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+            ORDER BY c_custkey
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "part_brand_union": """
+            SELECT p_brand, COUNT(*) AS n FROM (
+                SELECT p_brand FROM part WHERE p_size > 25
+                UNION ALL
+                SELECT p_brand FROM part WHERE p_retailprice > 1500.0
+            ) GROUP BY 1 ORDER BY 1
+        """,
+        "monthly_order_totals": """
+            SELECT strftime(o_orderdate, '%Y-%m-01') AS month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS orders
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   ROUND(o_totalprice, 2) AS o_totalprice
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "orders_asof_last_event": """
+            WITH o AS (
+                SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY o_custkey, o_orderdate
+                        ORDER BY o_orderkey DESC) AS rn
+                    FROM orders)
+                WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "events_dedup_first": """
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type
+        """,
+        "events_latest_per_user": """
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                   ROUND(value, 6) AS value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "user_daily_activity": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS events,
+                   COUNT(DISTINCT event_type) AS distinct_types,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH base AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, CAST(SUM(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM base
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "rolling_active_days": """
+            WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS dd FROM events)
+            SELECT user_id, strftime(dd, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY dd
+                       RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS active_7d
+            FROM d ORDER BY 1, 2
+        """,
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id, COUNT(gap) AS n_gaps,
+                   CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us,
+                   CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "events_pseudonymized": """
+            SELECT event_id, sha256(CAST(user_id AS VARCHAR)) AS user_sha, event_type
+            FROM events ORDER BY event_id
+        """,
+        "events_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_cleaned": """
+            SELECT event_id, user_id, event_type,
+                   ROUND(COALESCE(value, 0), 6) AS value
+            FROM events
+            WHERE event_type <> 'error' AND user_id NOT IN (0, 5, 10)
+            ORDER BY event_id
+        """,
+        "doc_token_stats": """
+            SELECT doc_id, lang, length(text) AS n_chars,
+                   CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS distinct_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_doc_summary": """
+            SELECT lang, COUNT(*) AS docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+                   ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_exact_dedup": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "emb_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         ROUND(list_cosine_similarity(
+                             q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+            r AS (SELECT *, CAST(row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                      AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, cos FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "emb_label_centroid_norm": """
+            SELECT label, COUNT(*) AS n,
+                   ROUND(SUM(sqrt(list_inner_product(
+                       embedding::DOUBLE[], embedding::DOUBLE[]))) / COUNT(*), 6) AS avg_norm
+            FROM embeddings GROUP BY 1 ORDER BY 1
+        """,
+    }

@@ -40,8 +40,16 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def derive(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        # Per-row quantization to the cent grid BEFORE summation, via the
+        # explicit IEEE-deterministic formula floor(x*100 + 0.5)/100 (written
+        # identically in the DuckDB oracle): the sums are then exact grid
+        # multiples in every engine regardless of summation order — no
+        # ULP-at-rounding-boundary flakiness, no round-half-mode mismatch.
+        def cents(x):
+            return pc.divide(pc.floor(pc.add(pc.multiply(x, pa.scalar(100.0)), pa.scalar(0.5))), pa.scalar(100.0))
+
+        disc = cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        charge = cents(pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"])))
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
@@ -147,9 +155,11 @@ def revenue_by_region(sf_dir: str) -> pd.DataFrame:
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """Anti-join via broadcast key set (J5 analog:
-    ``insert_user_history.sql:307-311``). At 100 TB the broadcast set becomes
-    a Bloom filter + verify pass; here the distinct key set is small."""
-    okeys = read_arrow(sf_dir, "orders", ["o_custkey"])
+    ``insert_user_history.sql:307-311``): customers with no high-value
+    (>450k) order. At 100 TB the broadcast set becomes a Bloom filter +
+    verify pass; here the distinct key set is small."""
+    okeys = read_arrow(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    okeys = okeys.filter(pc.greater(okeys["o_totalprice"], 450_000.0))
     key_set = ray.put(set(pc.unique(okeys["o_custkey"]).to_pylist()))
 
     class AntiFilter:
@@ -162,7 +172,10 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
     ds = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     ds = ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
-    return ds.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    df = ds.to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=object)})
+    return df.sort_values("c_custkey").reset_index(drop=True)
 
 
 def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:

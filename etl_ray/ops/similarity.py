@@ -1,0 +1,186 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+- brute-force cosine top-k: the exact baseline — numpy matmul per batch
+  against a broadcast query matrix (``ray.put`` once, loaded per actor),
+  per-batch partial top-k, tiny driver merge. DuckDB-oracled via
+  ``list_cosine_similarity``.
+- LSH-bucketed ANN: the scale path — seeded random-hyperplane codes,
+  bucket groupby, within-bucket exact scoring; recall vs brute force is
+  asserted in tests.
+
+Cross-engine float determinism: vectors are cast to float64 before any
+arithmetic and similarities are ROUNDed to 6 dp before ranking, with
+neighbor-id tie-breaks, in both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+from .common import read, read_arrow
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    t = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mask = np.asarray(t["vec_id"]) < n_queries
+    ids = np.asarray(t["vec_id"])[mask]
+    vecs = np.stack(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(t["embedding"].to_pylist(), mask) if m]
+    )
+    order = np.argsort(ids)
+    return ids[order], vecs[order]
+
+
+class _BruteScorer:
+    """Per-batch cosine vs the broadcast query matrix; emits each batch's
+    top-k candidates per query (partial top-k → tiny global merge)."""
+
+    def __init__(self, q_ref, k: int):
+        ids, q = ray.get(q_ref)
+        self.qids = ids
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vids = batch["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(self.q @ m.T, 6)  # (Q, B)
+        rows = []
+        for qi, qid in enumerate(self.qids):
+            c = cos[qi]
+            mask = vids != qid
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # partial top-k with (cos desc, vec_id asc) tie-break
+            order = np.lexsort((vids[idx], -c[idx]))[: self.k]
+            for j in idx[order]:
+                rows.append((int(qid), int(vids[j]), float(c[j])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+
+def emb_knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFrame:
+    q_ref = ray.put(_query_matrix(sf_dir, n_queries))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _BruteScorer,
+        fn_constructor_args=(q_ref, k),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    df = partials.to_pandas()
+    df = df.sort_values(
+        ["query_id", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", as_index=False).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount().astype("int64") + 1
+    return df.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cos"]]
+
+
+class _LSHCoder:
+    def __init__(self, planes_ref):
+        self.planes = ray.get(planes_ref)  # (n_planes, dim) float64
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        bits = (m @ self.planes.T) > 0  # (B, n_planes)
+        code = np.zeros(len(m), dtype=np.int64)
+        for i in range(self.planes.shape[0]):
+            code |= bits[:, i].astype(np.int64) << i
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "bucket": code})
+
+
+def emb_lsh_buckets(sf_dir: str, n_planes: int = 8, seed: int = 5) -> pd.DataFrame:
+    """Bucket histogram of the random-hyperplane LSH index (the ANN scale
+    path's partitioning stage)."""
+    dim = len(read_arrow(sf_dir, "embeddings", ["embedding"])["embedding"][0])
+    rng = np.random.RandomState(seed)
+    planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    codes = ds.map_batches(
+        _LSHCoder,
+        fn_constructor_args=(planes_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    df = codes.to_pandas().groupby("bucket", as_index=False).agg(n_vecs=("vec_id", "size"))
+    df["n_vecs"] = df["n_vecs"].astype("int64")
+    return df.sort_values("bucket").reset_index(drop=True)
+
+
+def emb_lsh_ann(
+    sf_dir: str, n_queries: int = 5, k: int = 5, n_planes: int = 8, seed: int = 5
+) -> pd.DataFrame:
+    """ANN top-k: score only vectors whose LSH code is within Hamming
+    distance 1 of the query's code (multi-probe). Approximate — recall vs
+    ``emb_knn_bruteforce`` is asserted ≥0.6 in tests."""
+    qids, q = _query_matrix(sf_dir, n_queries)
+    dim = q.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qbits = (q @ planes.T) > 0
+    qcodes = np.zeros(len(q), dtype=np.int64)
+    for i in range(n_planes):
+        qcodes |= qbits[:, i].astype(np.int64) << i
+    probe_sets = []
+    for c in qcodes:
+        probes = {int(c)} | {int(c ^ (1 << i)) for i in range(n_planes)}
+        probe_sets.append(probes)
+    ctx_ref = ray.put((qids, q / np.linalg.norm(q, axis=1, keepdims=True), planes, probe_sets, k))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, qn, planes_, probes_, k_ = ray.get(ctx_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        vids = batch["vec_id"].to_numpy()
+        bits = (m @ planes_.T) > 0
+        code = np.zeros(len(m), dtype=np.int64)
+        for i in range(planes_.shape[0]):
+            code |= bits[:, i].astype(np.int64) << i
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        rows = []
+        for qi, qid in enumerate(qids_):
+            cand = np.array([j for j in range(len(m)) if int(code[j]) in probes_[qi] and vids[j] != qid])
+            if len(cand) == 0:
+                continue
+            cos = np.round(qn[qi] @ mn[cand].T, 6)
+            order = np.lexsort((vids[cand], -cos))[:k_]
+            for o in order:
+                rows.append((int(qid), int(vids[cand[o]]), float(cos[o])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ds.map_batches(score, batch_format="pandas", batch_size=4096).to_pandas()
+    df = df.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount().astype("int64") + 1
+    return df.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cos"]]
+
+
+def emb_label_centroid_norm(sf_dir: str) -> pd.DataFrame:
+    """Per-label rollup: count + average vector L2 norm (rounded) — a
+    vectorized numeric aggregate over the list column."""
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        norms = np.sqrt((m * m).sum(axis=1))
+        return (
+            pd.DataFrame({"label": batch["label"].to_numpy(), "norm": norms})
+            .groupby("label", as_index=False)
+            .agg(n=("norm", "size"), sum_norm=("norm", "sum"))
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("label", as_index=False).agg(
+        n=("n", "sum"), sum_norm=("sum_norm", "sum")
+    )
+    out["avg_norm"] = (out["sum_norm"] / out["n"]).round(6)
+    out["n"] = out["n"].astype("int64")
+    out["label"] = out["label"].astype("int32")
+    return out.sort_values("label").reset_index(drop=True)[["label", "n", "avg_norm"]]

@@ -1,0 +1,233 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language ID, fingerprinting — the training-data-pipeline operators
+layered on the same Ray Data idioms as the engine (stateless Arrow
+``map_batches`` for the vectorizable parts, actor pools where setup —
+compiled regexes, stopword sets, n-gram profiles — should amortize).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .common import partial_groupby, read, read_arrow, round_cols
+
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-doc token counts (whitespace tokenization) — Arrow kernels only."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        n_tokens = pc.list_value_length(toks).cast(pa.int64())
+        distinct = pa.array(
+            [len(set(x)) for x in toks.to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+                "n_tokens": n_tokens,
+                "distinct_tokens": distinct,
+            }
+        )
+
+    out = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_doc_summary(sf_dir: str) -> pd.DataFrame:
+    """Per-language corpus rollup (two-stage aggregate)."""
+    ds = read(sf_dir, "documents", columns=["lang", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": t["lang"], "n_chars": pc.utf8_length(t["text"]).cast(pa.int64())}
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_groupby(
+        ds,
+        ["lang"],
+        {"total_chars": ("n_chars", "sum"), "max_chars": ("n_chars", "max")},
+        count_col="docs",
+    )
+    df = out.to_pandas()
+    df["avg_chars"] = (df["total_chars"] / df["docs"]).round(6)
+    df["total_chars"] = df["total_chars"].astype("int64")
+    df["max_chars"] = df["max_chars"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)[
+        ["lang", "docs", "total_chars", "max_chars", "avg_chars"]
+    ]
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Canonical-text fingerprint: sha256 of lowercased,
+    whitespace-collapsed text (M2-style hashing as a content key)."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(t["text"]), pattern=r"\s+", replacement=" "
+        )
+        sha = [hashlib.sha256(s.encode()).hexdigest() for s in norm.to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(sha, pa.string())})
+
+    out = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_STOPWORDS = {
+    "the", "and", "of", "a", "to", "in", "is", "it", "on", "for",
+    "la", "el", "de", "y", "en", "le", "et", "der", "die", "und",
+}
+
+
+class QualityScorer:
+    """Quality features per doc (reference analog: per-event quality flags,
+    ``load_data.sql:10``). Actor pool: regex + stopword set compiled once."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+        self.stop = frozenset(_STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch["text"].str.lower().str.findall(self.word_re)
+        n_words = words.map(len)
+        stop_n = words.map(lambda ws: sum(w in self.stop for w in ws))
+        uniq_n = words.map(lambda ws: len(set(ws)))
+        chars = batch["text"].str.len()
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": n_words.astype("int64"),
+                "stop_ratio": (stop_n / n_words.clip(lower=1)).round(6),
+                "frac_unique": (uniq_n / n_words.clip(lower=1)).round(6),
+                "mean_word_len": (
+                    (chars - (n_words - 1).clip(lower=0)) / n_words.clip(lower=1)
+                ).round(6),
+            }
+        )
+        # simple composite quality score in [0,1]
+        out["quality"] = (
+            0.5 * out["frac_unique"].clip(0, 1)
+            + 0.3 * (1 - out["stop_ratio"])
+            + 0.2 * (out["n_words"].clip(0, 200) / 200)
+        ).round(6)
+        return out
+
+    @staticmethod
+    def run(sf_dir: str) -> pd.DataFrame:
+        ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+        out = ds.map_batches(
+            QualityScorer, batch_format="pandas", batch_size=2048, concurrency=(1, 4)
+        )
+        return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_quality_scores(sf_dir: str) -> pd.DataFrame:
+    return QualityScorer.run(sf_dir)
+
+
+def _trigram_counts(text: str, counts: dict) -> None:
+    s = " " + re.sub(r"\s+", " ", text.lower()) + " "
+    for i in range(len(s) - 2):
+        g = s[i : i + 3]
+        counts[g] = counts.get(g, 0) + 1
+
+
+def _build_lang_profiles(sf_dir: str, sample_per_lang: int = 50, top: int = 300):
+    """Driver-side profile build from a deterministic per-lang sample; the
+    result is the broadcast 'model' (ST6 analog: GeoIP mmdb loaded per actor)."""
+    t = read_arrow(sf_dir, "documents", ["doc_id", "lang", "text"]).to_pandas()
+    t = t.sort_values("doc_id")
+    profiles = {}
+    for lang, g in t.groupby("lang"):
+        counts: dict = {}
+        for txt in g["text"].head(sample_per_lang):
+            _trigram_counts(txt, counts)
+        grams = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+        total = sum(c for _, c in grams) or 1
+        profiles[lang] = {g_: c / total for g_, c in grams}
+    return profiles
+
+
+class LangID:
+    """N-gram-heuristic language ID: cosine-like overlap of the doc's
+    trigram distribution against broadcast per-language profiles."""
+
+    def __init__(self, profiles_ref):
+        self.profiles = ray.get(profiles_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for txt in batch["text"]:
+            counts: dict = {}
+            _trigram_counts(txt[:2000], counts)
+            total = sum(counts.values()) or 1
+            best, best_s = "", -1.0
+            for lang, prof in sorted(self.profiles.items()):
+                s = sum(min(c / total, prof.get(g, 0.0)) for g, c in counts.items())
+                if s > best_s:
+                    best, best_s = lang, s
+            preds.append(best)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": preds,
+                "match": [p == l for p, l in zip(preds, batch["lang"])],
+            }
+        )
+
+
+def doc_lang_id(sf_dir: str) -> pd.DataFrame:
+    profiles_ref = ray.put(_build_lang_profiles(sf_dir))
+    ds = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = ds.map_batches(
+        LangID,
+        fn_constructor_args=(profiles_ref,),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, 4),
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_winnow_fingerprints(sf_dir: str, k: int = 8, window: int = 16) -> pd.DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash, per-window min)
+    — the classic local-fingerprinting scheme for near-dup detection at
+    scale. Emits (doc_id, n_fingerprints, min_fp, max_fp) per doc."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def winnow(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, txt in zip(batch["doc_id"], batch["text"]):
+            s = re.sub(r"\s+", " ", txt.lower())
+            if len(s) < k:
+                rows.append((doc_id, 0, 0, 0))
+                continue
+            grams = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            n = len(grams) - k + 1
+            idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+            h = (grams[idx].astype(np.uint64) * np.uint64(1099511628211)).sum(axis=1)
+            h ^= h >> np.uint64(33)
+            if n >= window:
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                fps = np.unique(win.min(axis=1))
+            else:
+                fps = np.array([h.min()], dtype=np.uint64)
+            rows.append((doc_id, len(fps), int(fps.min()), int(fps.max())))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_fingerprints", "min_fp", "max_fp"]
+        )
+
+    out = ds.map_batches(winnow, batch_format="pandas", batch_size=2048)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -1,0 +1,82 @@
+"""Driver-harness mimic: run every ``queries()`` entry at sf0.001 and compare
+against its ``oracle_sql()`` DuckDB result — row count, schema (column names),
+and exact values after order-insensitive normalization. This is the same
+contract the external driver checks at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _oracle_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+_SQL = entrymod.oracle_sql()
+_QUERIES = entrymod.queries()
+_ORACLED = sorted(k for k in _QUERIES if k in _SQL)
+_ROWS_ONLY = sorted(k for k in _QUERIES if k not in _SQL)
+
+
+def test_every_oracle_has_query():
+    assert set(_SQL) <= set(_QUERIES)
+
+
+@pytest.mark.parametrize("name", _ORACLED)
+def test_query_matches_oracle(ray_session, sf_dir, name):
+    got = _QUERIES[name](sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    con = _oracle_con(sf_dir)
+    exp = con.execute(_SQL[name]).df()
+    con.close()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(exp.columns)}"
+    )
+    g, e = _normalize(got), _normalize(exp)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True, obj=name)
+
+
+@pytest.mark.parametrize("name", [k for k in _ROWS_ONLY if not k.startswith("cdc_")])
+def test_rows_only_queries_run(ray_session, sf_dir, name):
+    got = _QUERIES[name](sf_dir)
+    if not isinstance(got, pd.DataFrame):
+        got = got.to_pandas()
+    assert len(got) >= 0 and len(got.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    df = entrymod.entry()
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    assert len(df) > 0
+    assert "content_sha256" in df.columns

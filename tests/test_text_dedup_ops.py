@@ -1,0 +1,124 @@
+"""Property/oracle tests for the non-SQL-expressible ops: MinHash-LSH
+near-dup detection (planted duplicates), SimHash locality, ANN recall vs
+brute force, lang-ID accuracy, winnowing fingerprints, multimodal stubs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(tmp_path_factory):
+    """A small corpus with planted near-duplicates: doc 2i+1 is a light
+    mutation of doc 2i; plus unrelated docs."""
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(400)]
+    docs, langs = [], []
+    for i in range(30):
+        base = [vocab[j] for j in rng.randint(0, 400, 60)]
+        docs.append(" ".join(base))
+        mut = list(base)
+        for _ in range(3):  # ~5% token mutation → high jaccard
+            mut[rng.randint(0, 60)] = vocab[rng.randint(0, 400)]
+        docs.append(" ".join(mut))
+        langs += ["en", "en"]
+    for i in range(40):  # unrelated
+        docs.append(" ".join(vocab[j] for j in rng.randint(0, 400, 60)))
+        langs.append("en")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session, planted_corpus):
+    from etl_ray.ops.dedup_text import doc_minhash_lsh_pairs
+
+    pairs = doc_minhash_lsh_pairs(planted_corpus, threshold=0.5)
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall} too low; found={len(found)}"
+    # verified jaccard really is high for reported pairs
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_minhash_jaccard_estimate_close(ray_session, planted_corpus):
+    from etl_ray.ops.dedup_text import MinHasher, _shingles
+
+    mh = MinHasher()
+    t = pq.read_table(f"{planted_corpus}/documents.parquet").to_pandas()
+    a, b = t["text"][0], t["text"][1]
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    sa, sb = _shingles(a), _shingles(b)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    true_j = inter / (len(sa) + len(sb) - inter)
+    assert abs(est - true_j) < 0.25
+
+
+def test_simhash_locality(ray_session, planted_corpus):
+    from etl_ray.ops.dedup_text import doc_simhash
+
+    df = doc_simhash(planted_corpus).set_index("doc_id")["simhash"]
+
+    def ham(x, y):
+        return bin(np.uint64(x) ^ np.uint64(y)).count("1")
+
+    near = np.mean([ham(df[2 * i], df[2 * i + 1]) for i in range(30)])
+    far = np.mean([ham(df[2 * i], df[(2 * i + 31) % 60]) for i in range(30)])
+    assert near < far, f"simhash not local: near={near}, far={far}"
+
+
+def test_ann_recall_vs_bruteforce(ray_session, sf_dir):
+    from etl_ray.ops.similarity import emb_knn_bruteforce, emb_lsh_ann
+
+    brute = emb_knn_bruteforce(sf_dir)
+    ann = emb_lsh_ann(sf_dir)
+    recall_num = recall_den = 0
+    for q in brute["query_id"].unique():
+        bset = set(brute.loc[brute["query_id"] == q, "neighbor_id"])
+        aset = set(ann.loc[ann["query_id"] == q, "neighbor_id"])
+        recall_num += len(bset & aset)
+        recall_den += len(bset)
+    assert recall_den > 0
+    assert recall_num / recall_den >= 0.4, f"ANN recall {recall_num}/{recall_den}"
+
+
+def test_lang_id_accuracy(ray_session, sf_dir):
+    from etl_ray.ops.text import doc_lang_id
+
+    df = doc_lang_id(sf_dir)
+    acc = df["match"].mean()
+    assert acc >= 0.5, f"lang-id accuracy {acc}"
+
+
+def test_winnow_fingerprints_identity(ray_session, planted_corpus):
+    from etl_ray.ops.text import doc_winnow_fingerprints
+
+    df = doc_winnow_fingerprints(planted_corpus).set_index("doc_id")
+    assert (df["n_fingerprints"] > 0).all()
+
+
+def test_media_decode_stub(ray_session, sf_dir):
+    from etl_ray.ops.multimodal import RealDecoder, media_features
+
+    df = media_features(sf_dir)
+    assert {"media_id", "width", "height", "checksum", "n_bytes"} <= set(df.columns)
+    assert (df["width"] >= 1).all() and (df["width"] <= 1920).all()
+    # deterministic across runs
+    df2 = media_features(sf_dir)
+    pd.testing.assert_frame_equal(df, df2)
+    with pytest.raises(NotImplementedError):
+        RealDecoder()
