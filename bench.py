@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "cdc_events": N, "cdc_events_per_sec": N}
+
+``--scaling``: run the identical CDC replay twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
+input and report both throughputs plus scaling efficiency
+T(32)/(4·T(8)) — the in-sandbox evidence for the N→4N-node criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    return ray
+
+
+def _warm_cache(paths):
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_bench() -> dict:
+    ray = _init_ray(NUM_CPUS)
+    import shutil
+
+    import __ray_entry__ as em
+    from etl_ray.engine import ReplayEngine
+
+    timings: dict[str, float] = {}
+
+    # --- headline: CDC replay (generate outside the timed section) ----------
+    wal = em._ensure_wal(SF_DIR)
+    _warm_cache(wal.segment_files)
+    lake = os.path.join(em._SCRATCH, f"bench-lake-{NUM_CPUS}")
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.perf_counter()
+    eng = ReplayEngine(
+        wal.wal_dir,
+        lake,
+        num_buckets=max(2 * NUM_CPUS, 32),
+        concurrency=NUM_CPUS,
+    )
+    eng.replay_all()
+    cdc_sec = time.perf_counter() - t0
+    timings["cdc_replay"] = round(cdc_sec, 3)
+    em._REPLAY_CACHE[em._sf_tag(SF_DIR)] = (wal, lake)
+
+    # --- supporting pipelines ------------------------------------------------
+    queries = em.queries()
+    for name in [
+        "q1_pricing_summary",
+        "revenue_by_region",
+        "sessionize",
+        "user_daily_activity",
+        "doc_minhash_lsh_pairs",
+        "emb_knn_bruteforce",
+        "doc_token_stats",
+        "events_dedup_first",
+    ]:
+        t0 = time.perf_counter()
+        queries[name](SF_DIR)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "headline pipeline wall time (CDC replay to committed lake) at "
+        f"{os.path.basename(SF_DIR)}",
+        "value": timings["cdc_replay"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": os.path.basename(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "cdc_events": wal.n_events,
+        "cdc_events_per_sec": round(wal.n_events / cdc_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    """Fresh-process runs of the identical CDC replay at two parallelism
+    levels; efficiency = throughput(hi) / (hi/lo · throughput(lo))."""
+    # pre-generate + warm so both runs measure compute+shuffle, not gen/IO
+    import __ray_entry__ as em
+
+    wal = em._ensure_wal(SF_DIR)
+    _warm_cache(wal.segment_files)
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_CDC_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["cdc_events_per_sec"]
+    tput_hi = r_hi["cdc_events_per_sec"]
+    eff = tput_hi / ((hi / lo) * tput_lo)
+    return {
+        "metric": f"CDC replay scaling {lo}→{hi} CPUs (N→4N proxy)",
+        "sf": os.path.basename(SF_DIR),
+        "cdc_events": r_lo["cdc_events"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"events_per_sec_{lo}": tput_lo,
+        f"events_per_sec_{hi}": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def run_cdc_only() -> dict:
+    """One timed replay (used by --scaling child processes)."""
+    ray = _init_ray(NUM_CPUS)
+    import shutil
+
+    import __ray_entry__ as em
+    from etl_ray.engine import ReplayEngine
+
+    wal = em._ensure_wal(SF_DIR)
+    lake = os.path.join(em._SCRATCH, f"bench-lake-{NUM_CPUS}")
+    shutil.rmtree(lake, ignore_errors=True)
+    t0 = time.perf_counter()
+    eng = ReplayEngine(
+        wal.wal_dir, lake, num_buckets=max(2 * NUM_CPUS, 32), concurrency=NUM_CPUS
+    )
+    eng.replay_all()
+    sec = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "cdc replay",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "queries": {"cdc_replay": round(sec, 3)},
+        "sf": os.path.basename(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "cdc_events": wal.n_events,
+        "cdc_events_per_sec": round(wal.n_events / sec, 1),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_CDC_ONLY"):
+        print(json.dumps(run_cdc_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -67,11 +67,40 @@ class MergeApplier:
         self.tick = tick
         self.target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
+    def apply_spilled(self, batch: pa.Table) -> pa.Table:
+        """Spill-shuffle mode: the batch is a list of bucket ids; each
+        bucket's pre-reduced deltas are read from its spill partition files
+        (shared-FS shuffle — content bytes never enter the object store)."""
+        outs = [MANIFEST_SCHEMA.empty_table()]
+        for bucket, files in zip(
+            batch["bucket"].to_pylist(), batch["files"].to_pylist()
+        ):
+            deltas = pa.concat_tables(
+                align_to(pq.read_table(f), self.target) for f in files
+            )
+            outs.append(self._apply_one(int(bucket), deltas, pre_aligned=True))
+        return pa.concat_tables(outs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Accepts a batch holding one or more COMPLETE buckets (a sort-based
+        groupby group, or a hash-shuffle partition block): splits by bucket
+        and merges each independently."""
+        if batch.num_rows == 0:
             return MANIFEST_SCHEMA.empty_table()
-        bucket = group[BUCKET_COL][0].as_py()
-        deltas = align_to(group.drop_columns([BUCKET_COL]), self.target)
+        buckets = pc.unique(batch[BUCKET_COL])
+        if len(buckets) == 1:
+            return self._apply_one(buckets[0].as_py(), batch)
+        outs = []
+        for b in sorted(buckets.to_pylist()):
+            part = batch.filter(pc.equal(batch[BUCKET_COL], b))
+            outs.append(self._apply_one(b, part))
+        return pa.concat_tables(outs)
+
+    def _apply_one(self, bucket: int, group: pa.Table, pre_aligned: bool = False) -> pa.Table:
+        if pre_aligned:
+            deltas = group
+        else:
+            deltas = align_to(group.drop_columns([BUCKET_COL]), self.target)
 
         man = self.lineage.bucket_manifest(bucket)
         if man is not None:
@@ -104,3 +133,10 @@ class MergeApplier:
                 "data_file": pa.array([out_path], pa.string()),
             }
         )
+
+class SpilledMergeApplier(MergeApplier):
+    """map_batches entry point for the spill-shuffle path: input rows are
+    (bucket, files) descriptors, not data rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        return self.apply_spilled(batch)

@@ -22,18 +22,21 @@ Ticks are strictly serial, like ``depends_on_past=True`` day runs.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from ..wal import WalInfo
 from . import aggregates
-from .apply import MergeApplier, deltas_to_state_shape
+from .apply import MergeApplier, SpilledMergeApplier, deltas_to_state_shape
 from .dedup import last_writer
 from .enrich import LangEnricher
 from .lineage import LakeLineage
-from .partitioning import with_bucket
+from .partitioning import BUCKET_COL, with_bucket
 from .source import pending_segments, read_segments, target_schema_for
 
 
@@ -62,10 +65,12 @@ class ReplayEngine:
         lake_dir: str,
         *,
         num_buckets: int = 32,
-        concurrency: int = 4,
+        concurrency: int | tuple[int, int] | None = None,
         aggregate: bool = True,
+        shuffle: str = "spill",  # "spill" (shared-FS) | "hash" | "sort"
         fail_after_buckets: int | None = None,  # crash injection for tests
     ):
+        self.shuffle = shuffle
         self.wal = WalInfo.load(wal_dir)
         self.lake_dir = lake_dir
         self.lineage = LakeLineage(lake_dir)
@@ -74,7 +79,115 @@ class ReplayEngine:
         self.aggregate = aggregate
         self.fail_after_buckets = fail_after_buckets
 
+    def _applier_pool_size(self) -> tuple[int, int]:
+        """Autoscaling applier pool capped BELOW the CPU count: a fixed pool
+        that reserves every core starves the read/reduce stages and the
+        pipeline deadlocks (guide §actor pools). Leave ≥2 cores for the
+        upstream tasks."""
+        if isinstance(self.concurrency, tuple):
+            return self.concurrency
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        hi = max(2, cpus - 2)
+        if isinstance(self.concurrency, int):
+            hi = min(self.concurrency, hi)
+        return (1, max(1, hi))
+
     # ------------------------------------------------------------------
+
+    def _spill_apply(self, ds, tick_id: int, schema_ser: bytes):
+        """Shared-FS shuffle (the default, and the shape a multi-node lake
+        engine actually wants): stage 1 tasks append each pre-reduced batch's
+        rows to per-bucket delta files under ``lake/_shuffle/tick-N/`` (the
+        lake directory IS the shared storage on a real cluster — this is an
+        external shuffle, like Spark's, with parquet+zstd as the wire
+        format); stage 2 is an applier actor pool over (bucket, files)
+        descriptors — content bytes never transit the object store, and
+        stage-2 parallelism is min(buckets, pool) regardless of input block
+        sizing. Crash-safe: the spill dir is wiped and rebuilt on tick redo.
+        """
+        import shutil
+        import uuid
+
+        import ray.data
+
+        spill_dir = os.path.join(self.lake_dir, "_shuffle", f"tick-{tick_id:06d}")
+        shutil.rmtree(spill_dir, ignore_errors=True)
+        for b in range(self.num_buckets):
+            os.makedirs(os.path.join(spill_dir, f"b={b:05d}"), exist_ok=True)
+
+        def spill(batch: pa.Table) -> pa.Table:
+            rows_out, buckets_out, files_out = [], [], []
+            codes = batch[BUCKET_COL]
+            for b in pc.unique(codes).to_pylist():
+                part = batch.filter(pc.equal(codes, b)).drop_columns([BUCKET_COL])
+                f = os.path.join(
+                    spill_dir, f"b={b:05d}", f"part-{uuid.uuid4().hex}.parquet"
+                )
+                pq.write_table(part, f + ".tmp", compression="zstd")
+                os.replace(f + ".tmp", f)
+                buckets_out.append(b)
+                files_out.append(f)
+                rows_out.append(part.num_rows)
+            return pa.table(
+                {
+                    "bucket": pa.array(buckets_out, pa.int32()),
+                    "file": pa.array(files_out, pa.string()),
+                    "rows": pa.array(rows_out, pa.int64()),
+                }
+            )
+
+        spill_ds = ds.map_batches(
+            spill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        shards = spill_ds.take_all()
+        self.spill_stats = spill_ds.stats()
+
+        by_bucket: dict[int, list[str]] = {}
+        for r in shards:
+            by_bucket.setdefault(int(r["bucket"]), []).append(r["file"])
+        items = [
+            {"bucket": b, "files": files} for b, files in sorted(by_bucket.items())
+        ]
+        if not items:
+            return None
+        lo, hi = self._applier_pool_size()
+        apply_ds = ray.data.from_items(items, override_num_blocks=len(items))
+        return apply_ds.map_batches(
+            SpilledMergeApplier,
+            fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=(lo, min(hi, max(1, len(items)))),
+            num_cpus=1,
+        )
+
+    def _shuffle_apply(self, ds, tick_id: int, schema_ser: bytes):
+        """The one all-to-all: co-locate rows by bucket, then the stateful
+        applier pool. ``shuffle='spill'`` (default) is the shared-FS
+        external shuffle (see ``_spill_apply``); ``'hash'`` is Ray's
+        HASH_SHUFFLE repartition by key; ``'sort'`` the sort-based
+        ``groupby().map_groups`` path."""
+        if self.shuffle == "spill":
+            return self._spill_apply(ds, tick_id, schema_ser)
+        if self.shuffle == "sort":
+            return ds.groupby("__bucket").map_groups(
+                MergeApplier,
+                fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
+                batch_format="pyarrow",
+                concurrency=self._applier_pool_size(),
+                num_cpus=1,
+            )
+        parts = ds.repartition(self.num_buckets, keys=["__bucket"])
+        return parts.map_batches(
+            MergeApplier,
+            fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
+            batch_format="pyarrow",
+            batch_size=None,  # one batch per hash partition (whole buckets)
+            concurrency=self._applier_pool_size(),
+            num_cpus=1,
+        )
 
     def tick(self, max_segments: int | None = None) -> TickResult | None:
         t0 = time.perf_counter()
@@ -87,28 +200,37 @@ class ReplayEngine:
 
         self.lineage.gc()  # drop uncommitted staging from any crashed run
 
+        # Ray Data snapshots DataContext at dataset CREATION: the hash
+        # strategy must be active while the apply pipeline is being built.
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        dctx = DataContext.get_current()
+        prev_strategy = dctx.shuffle_strategy
+        if self.shuffle == "hash":
+            dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+
         target = target_schema_for(segs)
         ds = read_segments(segs, target)
-        ds = ds.map_batches(LangEnricher, batch_format="pyarrow", concurrency=(1, 4))
 
         nb = self.num_buckets
+        enrich = LangEnricher()  # stateless here: task pool, no actor spin-up
 
-        def reduce_and_bucket(batch: pa.Table) -> pa.Table:
+        def enrich_reduce_bucket(batch: pa.Table) -> pa.Table:
+            batch = enrich(batch)
             batch = last_writer(batch)  # per-batch combiner (salt cell)
             batch = deltas_to_state_shape(batch)
             return with_bucket(batch, nb)
 
-        ds = ds.map_batches(reduce_and_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(enrich_reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
         schema_ser = target_schema_ser(deltas_schema(target))
-        applied = ds.groupby("__bucket").map_groups(
-            MergeApplier,
-            fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
-            batch_format="pyarrow",
-            concurrency=self.concurrency,
-            num_cpus=1,
-        )
-        manifests = applied.take_all()  # ≤ num_buckets rows
+        try:
+            applied = self._shuffle_apply(ds, tick_id, schema_ser)
+            manifests = applied.take_all() if applied is not None else []
+        finally:
+            dctx.shuffle_strategy = prev_strategy
+        if applied is not None:
+            self.last_stats = applied.stats()  # per-stage breakdown for tuning
 
         # ---- two-phase commit: publish bucket manifests, then the tick ----
         events = sum(s["rows"] for s in segs)
@@ -140,6 +262,9 @@ class ReplayEngine:
             }
         )
         self.lineage.gc()
+        import shutil
+
+        shutil.rmtree(os.path.join(self.lake_dir, "_shuffle"), ignore_errors=True)
         return TickResult(
             tick=tick_id,
             segments=len(segs),

@@ -69,9 +69,9 @@ def read_segments(
         if columns is not None:
             avail = set(pq.read_schema(files[0]).names)
             cols = [c for c in columns if c in avail]
-        nb = None
-        if override_num_blocks:
-            nb = max(1, override_num_blocks * len(files) // max(1, sum(len(g) for g in groups.values())))
+        # default: one block per segment file — segments are already sized
+        # for the pipeline (no SplitBlocks shatter into tiny blocks)
+        nb = override_num_blocks if override_num_blocks else len(files)
         ds = ray.data.read_parquet(files, columns=cols, override_num_blocks=nb)
         parts.append(ds.map_batches(_align, batch_format="pyarrow", zero_copy_batch=True))
     out = parts[0]
