@@ -34,7 +34,7 @@ def _wal_events_for(sf_dir: str) -> int:
         sf = float(tag.replace("sf", ""))
     except ValueError:
         sf = 0.001
-    return int(min(max(5_000_000 * sf, 20_000), 2_000_000))
+    return int(min(max(20_000_000 * sf, 20_000), 4_000_000))
 
 
 def _ensure_wal(sf_dir: str):

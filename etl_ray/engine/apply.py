@@ -68,17 +68,27 @@ class MergeApplier:
         self.target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
 
     def apply_spilled(self, batch: pa.Table) -> pa.Table:
-        """Spill-shuffle mode: the batch is a list of bucket ids; each
-        bucket's pre-reduced deltas are read from its spill partition files
-        (shared-FS shuffle — content bytes never enter the object store)."""
+        """Spill-shuffle mode: input rows are (bucket, files, rgs)
+        descriptors; each bucket's pre-reduced deltas are read as parquet
+        ROW GROUPS out of the shared shuffle files (content bytes never
+        enter the object store). File handles are cached on the actor."""
+        if not hasattr(self, "_pf_cache"):
+            self._pf_cache: dict[str, pq.ParquetFile] = {}
         outs = [MANIFEST_SCHEMA.empty_table()]
-        for bucket, files in zip(
-            batch["bucket"].to_pylist(), batch["files"].to_pylist()
+        for bucket, files, rgs in zip(
+            batch["bucket"].to_pylist(),
+            batch["files"].to_pylist(),
+            batch["rgs"].to_pylist(),
         ):
-            deltas = pa.concat_tables(
-                align_to(pq.read_table(f), self.target) for f in files
+            parts = []
+            for f, rg in zip(files, rgs):
+                pf = self._pf_cache.get(f)
+                if pf is None:
+                    pf = self._pf_cache[f] = pq.ParquetFile(f)
+                parts.append(align_to(pf.read_row_group(rg), self.target))
+            outs.append(
+                self._apply_one(int(bucket), pa.concat_tables(parts), pre_aligned=True)
             )
-            outs.append(self._apply_one(int(bucket), deltas, pre_aligned=True))
         return pa.concat_tables(outs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -6,12 +6,12 @@ pipeline with exactly ONE shuffle:
 
   discover pending segments (lineage watermark)                    [sensor/ST4]
   → read_parquet per schema group, align (schema evolution)        [S1/§1.3]
-  → LangEnricher (broadcast dim, stateless tasks)                  [M5/J3/ST6]
-  → per-batch last-writer pre-reduction + bucket column            [D1 partial,
-      (the combiner: a hot key sends ≤1 row per batch to shuffle)   skew/salt]
-  → op→tombstone shaping                                           [A5 prep]
-  → groupby(bucket).map_groups(MergeApplier, concurrency=N)        [the shuffle
-      + stateful actor-pool apply: LWW upsert/delete/evolve]        A5/J4/J5]
+  → fused task stage: lang enrich → per-batch last-writer          [M5/D1 partial,
+      pre-reduction (the combiner: a hot key sends ≤1 row per       skew/salt]
+      batch to the shuffle) → op→tombstone shaping → bucket id
+  → the ONE shuffle: shared-FS spill (indexed shuffle files, one
+      parquet row group per bucket) | hash repartition | sort       [S2 shape]
+  → MergeApplier actor pool: stateful LWW upsert/delete/evolve      [A5/J4/J5]
   → driver: publish bucket manifests, re-aggregate touched days,
     publish tick manifest (the commit point), GC                   [S2/S3/ST4]
 
@@ -114,26 +114,38 @@ class ReplayEngine:
 
         spill_dir = os.path.join(self.lake_dir, "_shuffle", f"tick-{tick_id:06d}")
         shutil.rmtree(spill_dir, ignore_errors=True)
-        for b in range(self.num_buckets):
-            os.makedirs(os.path.join(spill_dir, f"b={b:05d}"), exist_ok=True)
+        os.makedirs(spill_dir, exist_ok=True)
 
         def spill(batch: pa.Table) -> pa.Table:
-            rows_out, buckets_out, files_out = [], [], []
-            codes = batch[BUCKET_COL]
-            for b in pc.unique(codes).to_pylist():
-                part = batch.filter(pc.equal(codes, b)).drop_columns([BUCKET_COL])
-                f = os.path.join(
-                    spill_dir, f"b={b:05d}", f"part-{uuid.uuid4().hex}.parquet"
-                )
-                pq.write_table(part, f + ".tmp", compression="zstd")
-                os.replace(f + ".tmp", f)
-                buckets_out.append(b)
-                files_out.append(f)
-                rows_out.append(part.num_rows)
+            """ONE shuffle file per task, one parquet ROW GROUP per bucket
+            (an indexed shuffle file): bucket readers fetch only their row
+            group — no per-(task,bucket) tiny-file explosion."""
+            import numpy as np
+
+            order = pc.sort_indices(batch, sort_keys=[(BUCKET_COL, "ascending")])
+            batch = batch.take(order)
+            codes = batch[BUCKET_COL].to_numpy()
+            data = batch.drop_columns([BUCKET_COL])
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(codes)]])
+            f = os.path.join(spill_dir, f"part-{uuid.uuid4().hex}.parquet")
+            buckets_out, rgs_out, rows_out = [], [], []
+            writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="zstd")
+            try:
+                for rg, (s, e) in enumerate(zip(starts, ends)):
+                    writer.write_table(data.slice(s, e - s))
+                    buckets_out.append(int(codes[s]))
+                    rgs_out.append(rg)
+                    rows_out.append(int(e - s))
+            finally:
+                writer.close()
+            os.replace(f + ".tmp", f)
             return pa.table(
                 {
                     "bucket": pa.array(buckets_out, pa.int32()),
-                    "file": pa.array(files_out, pa.string()),
+                    "file": pa.array([f] * len(buckets_out), pa.string()),
+                    "rg": pa.array(rgs_out, pa.int32()),
                     "rows": pa.array(rows_out, pa.int64()),
                 }
             )
@@ -141,14 +153,20 @@ class ReplayEngine:
         spill_ds = ds.map_batches(
             spill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
+        t_sp = time.perf_counter()
         shards = spill_ds.take_all()
         self.spill_stats = spill_ds.stats()
+        if os.environ.get("ETL_RAY_DEBUG"):
+            print(f"[etl-ray] stage1 spill: {time.perf_counter() - t_sp:.2f}s", flush=True)
 
-        by_bucket: dict[int, list[str]] = {}
+        by_bucket: dict[int, tuple[list[str], list[int]]] = {}
         for r in shards:
-            by_bucket.setdefault(int(r["bucket"]), []).append(r["file"])
+            files, rgs = by_bucket.setdefault(int(r["bucket"]), ([], []))
+            files.append(r["file"])
+            rgs.append(int(r["rg"]))
         items = [
-            {"bucket": b, "files": files} for b, files in sorted(by_bucket.items())
+            {"bucket": b, "files": fr[0], "rgs": fr[1]}
+            for b, fr in sorted(by_bucket.items())
         ]
         if not items:
             return None
@@ -226,7 +244,10 @@ class ReplayEngine:
         schema_ser = target_schema_ser(deltas_schema(target))
         try:
             applied = self._shuffle_apply(ds, tick_id, schema_ser)
+            t_ap = time.perf_counter()
             manifests = applied.take_all() if applied is not None else []
+            if os.environ.get("ETL_RAY_DEBUG"):
+                print(f"[etl-ray] stage2 apply: {time.perf_counter() - t_ap:.2f}s", flush=True)
         finally:
             dctx.shuffle_strategy = prev_strategy
         if applied is not None:

@@ -113,6 +113,92 @@ def _content_pool(rng: np.random.RandomState, n_blocks: int, min_len: int, max_l
     return np.array(blocks, dtype=object)
 
 
+def _gen_chunk(
+    rng: np.random.RandomState,
+    lsn: np.ndarray,
+    *,
+    n_repos: int,
+    paths_per_repo: int,
+    zipf_s: float,
+    delete_rate: float,
+    dup_rate: float,
+    ooo_window: int,
+    pool: np.ndarray,
+    repo_names: np.ndarray,
+    step_us: int,
+) -> pd.DataFrame:
+    """One chunk of the stream: base events for ``lsn`` plus re-emitted
+    duplicates, in bounded-out-of-order stream order. Pure function of
+    (rng state, lsn range)."""
+    n = len(lsn)
+    repo_idx = (rng.zipf(zipf_s, n) - 1) % n_repos
+    path_idx = rng.randint(0, paths_per_repo, n)
+
+    ext_idx = (repo_idx * 31 + path_idx) % len(EXTS)
+    ext_arr = np.array(EXTS, dtype=object)[ext_idx]
+    repo_s = pd.Series(repo_names[repo_idx], dtype=object)
+    path_s = (
+        "src/m"
+        + pd.Series((path_idx // 50).astype(str), dtype=object)
+        + "/f"
+        + pd.Series((path_idx % 50).astype(str), dtype=object)
+        + "."
+        + pd.Series(ext_arr, dtype=object)
+    )
+    lang_s = pd.Series(ext_arr, dtype=object).map(EXT_TO_LANG)
+
+    # op labels: delete by rate; insert = first occurrence of the key within
+    # this chunk (a cross-chunk repeat may be labeled 'insert' again — the
+    # engine and oracle treat insert/update identically, only 'delete' acts)
+    is_delete = rng.random_sample(n) < delete_rate
+    key_id = repo_idx.astype(np.int64) * (paths_per_repo + 1) + path_idx
+    _, first_pos = np.unique(key_id, return_index=True)
+    is_first = np.zeros(n, dtype=bool)
+    is_first[first_pos] = True
+    op = np.where(is_delete, "delete", np.where(is_first, "insert", "update")).astype(object)
+
+    commit_s = pd.Series(np.char.mod("%040x", lsn), dtype=object)
+    header = "// " + repo_s + "/" + path_s + " @ " + pd.Series(lsn).astype(str) + "\n"
+    content_s = header + pd.Series(pool[lsn % len(pool)], dtype=object)
+
+    commit_s = commit_s.mask(is_delete)
+    lang_out = lang_s.mask(is_delete)
+    content_out = content_s.mask(is_delete)
+    size_bytes = content_out.str.len().astype("float64").to_numpy()
+
+    base = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "repo": repo_s,
+            "path": path_s,
+            "commit": commit_s,
+            "lang": lang_out,
+            "content": content_out,
+            "commit_ts": T0_US + lsn * step_us,
+            "_size": size_bytes,
+        }
+    )
+
+    pos = np.arange(n, dtype=np.float64)
+    jitter = rng.randint(0, max(ooo_window // 4, 1), n)
+    sort_key = pos + jitter
+
+    n_dups = int(n * dup_rate)
+    if n_dups:
+        dup_src = rng.choice(np.arange(max(int(n * 0.9), 1)), size=n_dups, replace=False)
+        dups = base.iloc[dup_src].copy()
+        dup_key = pos[dup_src] + rng.randint(1, max(ooo_window, 2), n_dups) + 0.5
+        stream = pd.concat(
+            [base.assign(_k=sort_key), dups.assign(_k=dup_key)], ignore_index=True
+        )
+    else:
+        stream = base.assign(_k=sort_key)
+    return (
+        stream.sort_values("_k", kind="mergesort").drop(columns="_k").reset_index(drop=True)
+    )
+
+
 def generate_wal(
     wal_dir: str,
     *,
@@ -129,9 +215,15 @@ def generate_wal(
     content_min: int = 64,
     content_max: int = 4_096,
     days_span: int = 30,
+    chunk_rows: int = 1_000_000,
     overwrite: bool = False,
 ) -> WalInfo:
     """Generate a deterministic CDC log under ``wal_dir/``.
+
+    Generation is chunked (``chunk_rows`` at a time, each chunk seeded from
+    (seed, chunk_index)) so 10^7+-event logs are memory-bounded; duplicates
+    and out-of-order jitter stay within a chunk, which upper-bounds lateness
+    — the allowed-lateness analog of ``event_partition.py:28-66``.
 
     Returns a :class:`WalInfo`; also persists it as ``_segments.json`` (the
     segment lineage manifest the engine's source discovery reads).
@@ -141,104 +233,16 @@ def generate_wal(
         return WalInfo.load(wal_dir)
 
     os.makedirs(wal_dir, exist_ok=True)
-    rng = np.random.RandomState(seed)
     n = int(n_events)
-
-    lsn = np.arange(1, n + 1, dtype=np.int64)
-
-    # --- keys: Zipf-skewed repo, uniform path within repo -------------------
-    repo_idx = (rng.zipf(zipf_s, n) - 1) % n_repos
-    path_idx = rng.randint(0, paths_per_repo, n)
-
+    pool = _content_pool(np.random.RandomState(seed), 64, content_min, content_max)
     repo_names = np.array([f"org{r % 7}/repo{r:03d}" for r in range(n_repos)], dtype=object)
-    # path string depends on (repo, path) so extensions vary per repo too
-    ext_idx = (repo_idx * 31 + path_idx) % len(EXTS)
-    ext_arr = np.array(EXTS, dtype=object)[ext_idx]
-    repo_s = pd.Series(repo_names[repo_idx], dtype=object)
-    path_s = (
-        "src/m"
-        + pd.Series((path_idx // 50).astype(str), dtype=object)
-        + "/f"
-        + pd.Series((path_idx % 50).astype(str), dtype=object)
-        + "."
-        + pd.Series(ext_arr, dtype=object)
-    )
-    lang_s = pd.Series(ext_arr, dtype=object).map(EXT_TO_LANG)
-
-    # --- ops ----------------------------------------------------------------
-    is_delete = rng.random_sample(n) < delete_rate
-    key_id = repo_idx.astype(np.int64) * (paths_per_repo + 1) + path_idx
-    _, first_pos = np.unique(key_id, return_index=True)
-    is_first = np.zeros(n, dtype=bool)
-    is_first[first_pos] = True
-    op = np.where(is_delete, "delete", np.where(is_first, "insert", "update")).astype(object)
-
-    # --- payload ------------------------------------------------------------
-    commit_s = pd.Series(np.char.mod("%040x", lsn), dtype=object)
-    pool = _content_pool(rng, 64, content_min, content_max)
-    header = (
-        "// "
-        + repo_s
-        + "/"
-        + path_s
-        + " @ "
-        + pd.Series(lsn).astype(str)
-        + "\n"
-    )
-    content_s = header + pd.Series(pool[lsn % len(pool)], dtype=object)
-
-    null_payload = is_delete
-    commit_s = commit_s.mask(null_payload)
-    lang_out = lang_s.mask(null_payload)
-    content_out = content_s.mask(null_payload)
-
-    # --- event time: monotone with lsn, spans days_span days ----------------
     step_us = max(1, int(days_span * 86_400_000_000 // max(n, 1)))
-    ts_us = T0_US + lsn * step_us
-
     evolve_lsn = int(n * evolve_at_frac) if evolve_at_frac > 0 else 0
-    size_bytes = content_out.str.len().astype("float64").to_numpy()  # NaN where null
 
-    base = pd.DataFrame(
-        {
-            "lsn": lsn,
-            "op": op,
-            "repo": repo_s,
-            "path": path_s,
-            "commit": commit_s,
-            "lang": lang_out,
-            "content": content_out,
-            "commit_ts": ts_us,
-            "_size": size_bytes,
-        }
-    )
+    info = WalInfo(wal_dir=wal_dir, n_events=0, n_base_events=n, evolve_lsn=evolve_lsn)
 
-    # --- duplicates + bounded out-of-order stream order ---------------------
-    pos = np.arange(n, dtype=np.float64)
-    jitter = rng.randint(0, max(ooo_window // 4, 1), n)
-    sort_key = pos + jitter
-
-    n_dups = int(n * dup_rate)
-    if n_dups:
-        dup_src = rng.choice(np.arange(int(n * 0.9)), size=n_dups, replace=False)
-        dups = base.iloc[dup_src].copy()
-        dup_key = pos[dup_src] + rng.randint(1, max(ooo_window, 2), n_dups) + 0.5
-        stream = pd.concat(
-            [base.assign(_k=sort_key), dups.assign(_k=dup_key)], ignore_index=True
-        )
-    else:
-        stream = base.assign(_k=sort_key)
-    stream = stream.sort_values("_k", kind="mergesort").drop(columns="_k").reset_index(drop=True)
-
-    # --- write segments -----------------------------------------------------
-    info = WalInfo(
-        wal_dir=wal_dir,
-        n_events=len(stream),
-        n_base_events=n,
-        evolve_lsn=evolve_lsn,
-    )
-    for seq, start in enumerate(range(0, len(stream), segment_rows)):
-        seg = stream.iloc[start : start + segment_rows]
+    def flush_segment(seg: pd.DataFrame) -> None:
+        seq = len(info.segments)
         has_evo = evolve_lsn > 0 and bool((seg["lsn"] > evolve_lsn).any())
         cols = {
             "lsn": pa.array(seg["lsn"].to_numpy(), pa.int64()),
@@ -253,10 +257,8 @@ def generate_wal(
         if has_evo:
             sz = seg["_size"].where(seg["lsn"] > evolve_lsn, np.nan)
             cols["size_bytes"] = pa.Array.from_pandas(sz, type=pa.int64())
-        tbl = pa.table(cols)
-        fname = f"seg-{seq:08d}.parquet"
-        fpath = os.path.join(wal_dir, fname)
-        pq.write_table(tbl, fpath + ".tmp", compression="zstd")
+        fpath = os.path.join(wal_dir, f"seg-{seq:08d}.parquet")
+        pq.write_table(pa.table(cols), fpath + ".tmp", compression="zstd")
         os.replace(fpath + ".tmp", fpath)
         info.segments.append(
             {
@@ -270,5 +272,38 @@ def generate_wal(
                 "max_ts_us": int(seg["commit_ts"].max()),
             }
         )
+        info.n_events += len(seg)
+
+    buffer: list[pd.DataFrame] = []
+    buffered = 0
+    for ci, start in enumerate(range(0, n, chunk_rows)):
+        cnt = min(chunk_rows, n - start)
+        rng = np.random.RandomState((seed + 1_000_003 * ci) % (2**31 - 1))
+        lsn = np.arange(start + 1, start + cnt + 1, dtype=np.int64)
+        stream = _gen_chunk(
+            rng,
+            lsn,
+            n_repos=n_repos,
+            paths_per_repo=paths_per_repo,
+            zipf_s=zipf_s,
+            delete_rate=delete_rate,
+            dup_rate=dup_rate,
+            ooo_window=min(ooo_window, cnt),
+            pool=pool,
+            repo_names=repo_names,
+            step_us=step_us,
+        )
+        buffer.append(stream)
+        buffered += len(stream)
+        while buffered >= segment_rows:
+            joined = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
+            flush_segment(joined.iloc[:segment_rows])
+            rest = joined.iloc[segment_rows:]
+            buffer = [rest] if len(rest) else []
+            buffered = len(rest)
+    if buffered:
+        joined = pd.concat(buffer, ignore_index=True) if len(buffer) > 1 else buffer[0]
+        if len(joined):
+            flush_segment(joined)
     info.save()
     return info
