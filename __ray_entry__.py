@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pseudonymized": ev.events_pseudonymized,
         "events_json_extract": ev.events_json_extract,
         "events_cleaned": ev.events_cleaned,
+        "user_state_fold": ev.user_state_fold,
         # text analysis
         "doc_token_stats": tx.doc_token_stats,
         "lang_doc_summary": tx.lang_doc_summary,
@@ -324,6 +325,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type <> 'error' AND user_id NOT IN (0, 5, 10)
             ORDER BY event_id
+        """,
+        "user_state_fold": """
+            SELECT user_id,
+                   COUNT(*) AS total_events,
+                   ROUND(SUM(value), 6) AS total_value,
+                   strftime(MIN(ts), '%Y-%m-%d') AS first_seen_day,
+                   strftime(MAX(ts), '%Y-%m-%d') AS last_seen_day,
+                   COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS days_active,
+                   COUNT(*) FILTER (event_type = 'purchase') > 0 AS is_payer,
+                   MIN(strftime(ts, '%Y-%m-%d')) FILTER (event_type = 'purchase')
+                       AS payer_since_day,
+                   first(event_type ORDER BY ts DESC, event_id DESC)
+                       AS last_event_type
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "doc_token_stats": """
             SELECT doc_id, lang, length(text) AS n_chars,

@@ -131,7 +131,7 @@ class ReplayEngine:
             ends = np.concatenate([bounds, [len(codes)]])
             f = os.path.join(spill_dir, f"part-{uuid.uuid4().hex}.parquet")
             buckets_out, rgs_out, rows_out = [], [], []
-            writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="zstd")
+            writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="snappy")  # transient shuffle data: cheap codec
             try:
                 for rg, (s, e) in enumerate(zip(starts, ends)):
                     writer.write_table(data.slice(s, e - s))

@@ -259,3 +259,39 @@ def events_cleaned(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
     df = round_cols(out.to_pandas(), {"value": 6})
     return df.sort_values("event_id").reset_index(drop=True)
+
+
+def user_state_fold(sf_dir: str) -> pd.DataFrame:
+    """Incremental per-user state snapshot (the A5 user_history fold analog:
+    ``insert_user_history.sql:227-299`` — additive totals, first/last dims,
+    payer transitions) computed by replaying each user's events in
+    (ts, event_id) order inside ``map_groups``.
+
+    In the CDC engine the same fold runs incrementally in the MergeApplier;
+    here it is the one-shot batch equivalent with a SQL oracle."""
+    ds = read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts", "value"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ORDER, kind="mergesort")
+        days = g["ts"].dt.strftime("%Y-%m-%d")
+        purchases = g[g["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "total_events": [len(g)],
+                "total_value": [round(g["value"].sum(), 6)],
+                "first_seen_day": [days.iloc[0]],
+                "last_seen_day": [days.iloc[-1]],
+                "days_active": [days.nunique()],
+                "is_payer": [len(purchases) > 0],
+                "payer_since_day": [
+                    purchases["ts"].dt.strftime("%Y-%m-%d").iloc[0]
+                    if len(purchases)
+                    else None
+                ],
+                "last_event_type": [g["event_type"].iloc[-1]],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(fold, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
