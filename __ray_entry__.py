@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_order_totals": rel.monthly_order_totals,
         "latest_order_per_customer": rel.latest_order_per_customer,
         "orders_asof_last_event": rel.orders_asof_last_event,
+        "order_lineitem_join": rel.order_lineitem_join,
+        "events_csv_roundtrip": rel.events_csv_roundtrip,
         # event-stream ops
         "events_dedup_first": ev.events_dedup_first,
         "events_latest_per_user": ev.events_latest_per_user,
@@ -168,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "emb_knn_bruteforce": sim.emb_knn_bruteforce,
         "emb_lsh_buckets": sim.emb_lsh_buckets,
+        "emb_cosine_dup_pairs": sim.emb_cosine_dup_pairs,
         "emb_lsh_ann": sim.emb_lsh_ann,
         "emb_label_centroid_norm": sim.emb_label_centroid_norm,
         # multimodal plumbing
@@ -245,6 +248,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        "order_lineitem_join": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) / 100.0), 2)
+                       AS line_revenue,
+                   COUNT(*) AS n_lines
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey
+        """,
+        "events_csv_roundtrip": """
+            SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "events_dedup_first": """
             SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us

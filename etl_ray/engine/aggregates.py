@@ -124,7 +124,10 @@ def recompute_days(
     *,
     metrics: list[MetricSpec] | None = None,
 ) -> dict:
-    """Re-aggregate the given day partitions exactly; overwrite their files."""
+    """Re-aggregate the given day partitions exactly from the WAL segments
+    overlapping them; overwrite their files. (Fallback path — the spill
+    shuffle maintains a narrow per-day agg log instead, see
+    :func:`recompute_days_from_agglog`.)"""
     if not days:
         return {"days": 0}
     metrics = DEFAULT_METRICS if metrics is None else metrics
@@ -150,6 +153,31 @@ def recompute_days(
         ),
         batch_format="pyarrow",
     )
+    return _finish_recompute(ds, lineage, days, metrics)
+
+
+def recompute_days_from_agglog(
+    lineage: LakeLineage,
+    days: set[str],
+    *,
+    metrics: list[MetricSpec] | None = None,
+) -> dict:
+    """Re-aggregate the given days from the narrow per-day agg log the
+    spill stage maintains (day, lang, repo, path, op, lsn, nbytes) — no
+    re-read of the wide WAL; replayed-duplicate LSNs are deduped inside the
+    (day, lang) groups as usual (crash-attempt double-writes are GC'd by
+    ``gc_agglog_tick``, and identical-LSN rows are collapsed anyway)."""
+    if not days:
+        return {"days": 0}
+    metrics = DEFAULT_METRICS if metrics is None else metrics
+    files = [f for d in sorted(days) for f in lineage.agglog_day_files(d)]
+    if not files:
+        return {"days": 0}
+    ds = ray.data.read_parquet(files)
+    return _finish_recompute(ds, lineage, days, metrics)
+
+
+def _finish_recompute(ds, lineage: LakeLineage, days: set[str], metrics) -> dict:
     inter = ds.groupby(INTER_KEYS).map_groups(
         make_group_reduce(metrics), batch_format="pandas"
     )

@@ -121,6 +121,34 @@ class LakeLineage:
             removed += 1
         return removed
 
+    # -- narrow agg log (per-day projection of the event stream) --------------
+
+    def agglog_day_dir(self, day: str) -> str:
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
+            raise ValueError(f"bad day partition: {day!r}")
+        d = os.path.join(self.lake_dir, "_agglog", f"day={day}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def agglog_day_files(self, day: str) -> list[str]:
+        return sorted(
+            glob.glob(os.path.join(self.lake_dir, "_agglog", f"day={day}", "*.parquet"))
+        )
+
+    def gc_agglog_tick(self, tick: int) -> int:
+        """Remove agg-log files written by a crashed attempt of ``tick``
+        (they would otherwise double-count; re-run rewrites them)."""
+        removed = 0
+        for p in glob.glob(
+            os.path.join(self.lake_dir, "_agglog", "day=*", f"t{tick:06d}-*.parquet")
+        ):
+            os.remove(p)
+            removed += 1
+        for p in glob.glob(os.path.join(self.lake_dir, "_agglog", "day=*", "*.tmp")):
+            os.remove(p)
+            removed += 1
+        return removed
+
     # -- aggregate partitions -------------------------------------------------
 
     def agg_day_path(self, table: str, day: str) -> str:

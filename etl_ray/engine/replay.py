@@ -116,12 +116,34 @@ class ReplayEngine:
         shutil.rmtree(spill_dir, ignore_errors=True)
         os.makedirs(spill_dir, exist_ok=True)
 
+        agglog_dirs = {}
+        nb = self.num_buckets
+        enrich = LangEnricher()
+
         def spill(batch: pa.Table) -> pa.Table:
-            """ONE shuffle file per task, one parquet ROW GROUP per bucket
-            (an indexed shuffle file): bucket readers fetch only their row
-            group — no per-(task,bucket) tiny-file explosion."""
+            """Fused stage-1 task: enrich → (a) append the narrow per-day
+            agg-log projection (pre-reduction — aggregates need every
+            distinct LSN) → (b) per-batch last-writer pre-reduction →
+            tombstone shape → ONE shuffle file with one parquet ROW GROUP
+            per bucket (an indexed shuffle file): bucket readers fetch only
+            their row group — no per-(task,bucket) tiny-file explosion."""
             import numpy as np
 
+            from .aggregates import _project
+
+            batch = enrich(batch)
+            if self.aggregate:
+                proj = _project(batch)
+                days_col = proj["day"]
+                for day in pc.unique(days_col).to_pylist():
+                    part = proj.filter(pc.equal(days_col, day))
+                    ddir = agglog_dirs.get(day)
+                    if ddir is None:
+                        ddir = agglog_dirs[day] = self.lineage.agglog_day_dir(day)
+                    fp = os.path.join(ddir, f"t{tick_id:06d}-{uuid.uuid4().hex}.parquet")
+                    pq.write_table(part, fp + ".tmp", compression="snappy")
+                    os.replace(fp + ".tmp", fp)
+            batch = with_bucket(deltas_to_state_shape(last_writer(batch)), nb)
             order = pc.sort_indices(batch, sort_keys=[(BUCKET_COL, "ascending")])
             batch = batch.take(order)
             codes = batch[BUCKET_COL].to_numpy()
@@ -227,19 +249,25 @@ class ReplayEngine:
         if self.shuffle == "hash":
             dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
+        self.lineage.gc_agglog_tick(tick_id)  # crashed-attempt agg-log files
+
         target = target_schema_for(segs)
         ds = read_segments(segs, target)
 
-        nb = self.num_buckets
-        enrich = LangEnricher()  # stateless here: task pool, no actor spin-up
+        if self.shuffle != "spill":
+            # spill fuses enrich/reduce/bucket into its stage-1 task
+            nb = self.num_buckets
+            enrich = LangEnricher()  # stateless here: task pool, no actor spin-up
 
-        def enrich_reduce_bucket(batch: pa.Table) -> pa.Table:
-            batch = enrich(batch)
-            batch = last_writer(batch)  # per-batch combiner (salt cell)
-            batch = deltas_to_state_shape(batch)
-            return with_bucket(batch, nb)
+            def enrich_reduce_bucket(batch: pa.Table) -> pa.Table:
+                batch = enrich(batch)
+                batch = last_writer(batch)  # per-batch combiner (salt cell)
+                batch = deltas_to_state_shape(batch)
+                return with_bucket(batch, nb)
 
-        ds = ds.map_batches(enrich_reduce_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(
+                enrich_reduce_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
 
         schema_ser = target_schema_ser(deltas_schema(target))
         try:
@@ -266,9 +294,12 @@ class ReplayEngine:
 
         if self.aggregate:
             days = aggregates.days_of_segments(segs)
-            aggregates.recompute_days(
-                self.wal, self.lineage, days, segs[-1]["seqno"]
-            )
+            if self.shuffle == "spill":
+                aggregates.recompute_days_from_agglog(self.lineage, days)
+            else:
+                aggregates.recompute_days(
+                    self.wal, self.lineage, days, segs[-1]["seqno"]
+                )
 
         self.lineage.publish_tick(
             {

@@ -287,3 +287,111 @@ def orders_asof_last_event(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def order_lineitem_join(sf_dir: str, n_buckets: int = 16) -> pd.DataFrame:
+    """Large⋈large partitioned hash join (J1/J4 analog — both sides big, no
+    broadcast): bucket BOTH sides by hash(join key) % B, co-locate buckets
+    via one groupby shuffle over the tagged union, then join each bucket
+    pairwise in ``map_groups`` (guide §"Joins and lookups" portable
+    pattern). Emits per-order revenue vs header total.
+
+    Scale notes: ONE shuffle over both inputs; B chosen ≈ cluster CPUs;
+    skewed keys would be salted into sub-buckets then re-merged (same
+    associativity argument as the engine's LWW salt cells)."""
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    lines = read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_orderkey"],
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["o_orderkey"], n_buckets - 1), pa.int32()
+                ),
+                "side": pa.array(["o"] * t.num_rows, pa.string()),
+                "a": t["o_totalprice"],
+                "b": pa.nulls(t.num_rows, pa.float64()),
+            }
+        )
+
+    def tag_lines(t: pa.Table) -> pa.Table:
+        def cents(x):
+            return pc.divide(
+                pc.floor(pc.add(pc.multiply(x, pa.scalar(100.0)), pa.scalar(0.5))),
+                pa.scalar(100.0),
+            )
+
+        rev = cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+        return pa.table(
+            {
+                "key": t["l_orderkey"],
+                "bucket": pc.cast(
+                    pc.bit_wise_and(t["l_orderkey"], n_buckets - 1), pa.int32()
+                ),
+                "side": pa.array(["l"] * t.num_rows, pa.string()),
+                "a": pa.nulls(t.num_rows, pa.float64()),
+                "b": rev,
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lines.map_batches(tag_lines, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == "o"][["key", "a"]].rename(columns={"a": "o_totalprice"})
+        l = (
+            g[g["side"] == "l"]
+            .groupby("key", as_index=False)
+            .agg(line_revenue=("b", "sum"), n_lines=("b", "size"))
+        )
+        m = o.merge(l, on="key", how="inner")
+        m["line_revenue"] = m["line_revenue"].round(2)
+        m["o_totalprice"] = m["o_totalprice"].round(2)
+        m["n_lines"] = m["n_lines"].astype("int64")
+        return m.rename(columns={"key": "o_orderkey"})
+
+    out = tagged.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)[
+        ["o_orderkey", "o_totalprice", "line_revenue", "n_lines"]
+    ]
+
+
+def events_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """CSV source (S4 analog: ``spark_job_data_locker.py:413-421``
+    schema-on-read CSV ingest): export events to CSV once (driver-side
+    fixture), read back via ``ray.data.read_csv``, cast types (M4 declarative
+    cast-map), aggregate — proves the non-parquet source path end-to-end."""
+    import os
+
+    import pyarrow.csv as pacsv
+
+    csv_dir = os.path.join("/tmp/etl_ray", f"csv-{os.path.basename(os.path.normpath(sf_dir))}")
+    os.makedirs(csv_dir, exist_ok=True)
+    csv_path = os.path.join(csv_dir, "events.csv")
+    if not os.path.exists(csv_path):
+        t = read_arrow(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+        pacsv.write_csv(t, csv_path + ".tmp")
+        os.replace(csv_path + ".tmp", csv_path)
+
+    ds = ray.data.read_csv(csv_path)
+
+    def cast(t: pa.Table) -> pa.Table:
+        # declarative cast map (CSV schema-on-read may infer differently)
+        return pa.table(
+            {
+                "event_type": pc.cast(t["event_type"], pa.string()),
+                "value": pc.cast(t["value"], pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(cast, batch_format="pyarrow")
+    out = partial_groupby(ds, ["event_type"], {"total_value": ("value", "sum")}, count_col="n")
+    df = out.to_pandas()
+    df = round_cols(df, {"total_value": 6})
+    return df.sort_values("event_type").reset_index(drop=True)[["event_type", "n", "total_value"]]

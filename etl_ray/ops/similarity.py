@@ -184,3 +184,65 @@ def emb_label_centroid_norm(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     out["label"] = out["label"].astype("int32")
     return out.sort_values("label").reset_index(drop=True)[["label", "n", "avg_norm"]]
+
+
+def emb_cosine_dup_pairs(
+    sf_dir: str, *, threshold: float = 0.9, n_planes: int = 8, seed: int = 5
+) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors
+    (random hyperplanes), compare only within buckets (+Hamming-1 probes
+    handled by duplicate-tolerant pair set), verify exact cosine ≥
+    threshold. The dedup-by-embedding member of the dedup family."""
+    import ray.data as rd
+
+    t = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(t["embedding"][0])
+    rng = np.random.RandomState(seed)
+    planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    codes = ds.map_batches(
+        _LSHCoder,
+        fn_constructor_args=(planes_ref,),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    vec_ref = ray.put(
+        {
+            int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+        }
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vecs = ray.get(vec_ref)
+        ids = np.sort(g["vec_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        m = np.stack([vecs[int(i)] for i in ids])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sim = np.round(m @ m.T, 6)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]].astype("int64"),
+                "vec_b": ids[ib[keep]].astype("int64"),
+                "cos": sim[ia[keep], ib[keep]],
+            }
+        )
+
+    out = codes.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+    df = df.drop_duplicates(["vec_a", "vec_b"])
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

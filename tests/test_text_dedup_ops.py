@@ -179,3 +179,14 @@ def test_media_decode_stub(ray_session, sf_dir):
     pd.testing.assert_frame_equal(df, df2)
     with pytest.raises(NotImplementedError):
         RealDecoder()
+
+
+def test_emb_cosine_dup_pairs_planted(ray_session, planted_embeddings):
+    from etl_ray.ops.similarity import emb_cosine_dup_pairs
+
+    pairs = emb_cosine_dup_pairs(planted_embeddings, threshold=0.9)
+    found = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    planted = {(2 * i, 2 * i + 1) for i in range(100)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.5, f"embedding near-dup recall {recall}"
+    assert (pairs["cos"] >= 0.9).all()
