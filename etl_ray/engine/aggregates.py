@@ -109,8 +109,8 @@ def make_group_reduce(metrics: list[MetricSpec]):
         out.insert(0, "day", g["day"].iloc[0])
         out.insert(1, "lang", g["lang"].iloc[0])
         for m in metrics:
-            vals = g.groupby("repo").apply(m.batch_expr, include_groups=False)
-            out[f"__m_{m.name}"] = out["repo"].map(vals)
+            vals = m.batch_expr(g)  # vectorized: Series indexed by (lang, repo)
+            out[f"__m_{m.name}"] = pd.MultiIndex.from_frame(out[["lang", "repo"]]).map(vals)
         return out
 
     return group_reduce
@@ -163,18 +163,57 @@ def recompute_days_from_agglog(
     metrics: list[MetricSpec] | None = None,
 ) -> dict:
     """Re-aggregate the given days from the narrow per-day agg log the
-    spill stage maintains (day, lang, repo, path, op, lsn, nbytes) — no
-    re-read of the wide WAL; replayed-duplicate LSNs are deduped inside the
-    (day, lang) groups as usual (crash-attempt double-writes are GC'd by
-    ``gc_agglog_tick``, and identical-LSN rows are collapsed anyway)."""
+    spill stage maintains (day, lang, repo, path, op, lsn, nbytes).
+
+    No shuffle AT ALL: the log is already partitioned by day, so the unit
+    of work is one task per day — read that day's files, drop replayed
+    duplicate LSNs, one vectorized pandas groupby over (lang, repo)
+    (crash-attempt double-writes are GC'd by ``gc_agglog_tick``; identical
+    LSNs collapse here anyway)."""
     if not days:
         return {"days": 0}
     metrics = DEFAULT_METRICS if metrics is None else metrics
-    files = [f for d in sorted(days) for f in lineage.agglog_day_files(d)]
-    if not files:
+    items = []
+    for d in sorted(days):
+        files = lineage.agglog_day_files(d)
+        if files:
+            items.append({"day": d, "files": files})
+    if not items:
         return {"days": 0}
-    ds = ray.data.read_parquet(files)
-    return _finish_recompute(ds, lineage, days, metrics)
+
+    def day_reduce(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, row in batch.iterrows():
+            g = pa.concat_tables(
+                pq.read_table(f) for f in row["files"]
+            ).to_pandas()
+            g = g.drop_duplicates("lsn")
+            live = g["op"] != "delete"
+            out = (
+                g.assign(_live=live, _lbytes=g["nbytes"].where(live, 0))
+                .groupby(["lang", "repo"], as_index=False)
+                .agg(
+                    events=("lsn", "size"),
+                    upserts=("_live", "sum"),
+                    bytes=("_lbytes", "sum"),
+                    distinct_paths=("path", "nunique"),
+                )
+            )
+            out["deletes"] = out["events"] - out["upserts"]
+            out.insert(0, "day", row["day"])
+            for m in metrics:
+                vals = m.batch_expr(g)  # Series indexed by (lang, repo)
+                out[f"__m_{m.name}"] = pd.MultiIndex.from_frame(
+                    out[["lang", "repo"]]
+                ).map(vals)
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
+
+    inter = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        day_reduce, batch_format="pandas", batch_size=None
+    )
+    idf = inter.to_pandas()
+    return _write_agg_partitions(idf, lineage, days, metrics)
 
 
 def _finish_recompute(ds, lineage: LakeLineage, days: set[str], metrics) -> dict:
@@ -182,6 +221,10 @@ def _finish_recompute(ds, lineage: LakeLineage, days: set[str], metrics) -> dict
         make_group_reduce(metrics), batch_format="pandas"
     )
     idf = inter.to_pandas()  # (days × langs × repos) rows — small by construction
+    return _write_agg_partitions(idf, lineage, days, metrics)
+
+
+def _write_agg_partitions(idf: pd.DataFrame, lineage: LakeLineage, days: set[str], metrics) -> dict:
     if len(idf) == 0:
         return {"days": 0}
     idf = idf[idf["day"].isin(days)]
@@ -211,6 +254,16 @@ def _finish_recompute(ds, lineage: LakeLineage, days: set[str], metrics) -> dict
         )
         .sort_values(["day", "repo"])
     )
+
+    # stable cross-partition schema: counters int64, metric columns float64
+    # (a day whose metric is all-NaN must not flip the parquet column type)
+    for df, ms in ((lang_daily, lang_metrics), (repo_daily, repo_metrics)):
+        for c in df.columns:
+            if c in ("day", "lang", "repo"):
+                continue
+            df[c] = df[c].astype(
+                "float64" if c in {m.name for m in ms} else "int64"
+            )
 
     for day in sorted(set(idf["day"])):
         for name, df in (("lang_daily_agg", lang_daily), ("repo_daily_agg", repo_daily)):

@@ -7,9 +7,10 @@ column to the aggregate tables and folds it incrementally. Here a metric is:
 
 - ``name``       output column,
 - ``grain``      which aggregate table it lands on ("lang_daily" | "repo_daily"),
-- ``batch_expr`` vectorized pandas expression over the deduped per-group event
-                 rows (columns: day, lang, repo, path, op, lsn, nbytes) →
-                 one scalar per group,
+- ``batch_expr`` VECTORIZED pandas expression over one deduped group of
+                 event rows (columns: day, lang, repo, path, op, lsn,
+                 nbytes; one day or one (day, lang) slice) → a Series
+                 indexed by ``(lang, repo)`` — no per-repo Python loop,
 - ``agg``        how per-(day,lang,repo) intermediate values combine to the
                  final grain: "sum" | "max" | "min".
 
@@ -29,7 +30,7 @@ import pandas as pd
 class MetricSpec:
     name: str
     grain: str  # "lang_daily" | "repo_daily"
-    batch_expr: Callable[[pd.DataFrame], object]  # group rows -> scalar
+    batch_expr: Callable[[pd.DataFrame], pd.Series]  # group rows -> per-repo Series
     agg: str = "sum"  # sum | max | min
     dtype: str = "int64"
 
@@ -44,9 +45,9 @@ DEFAULT_METRICS: list[MetricSpec] = [
     MetricSpec(
         name="max_file_bytes",
         grain="lang_daily",
-        batch_expr=lambda g: int(g.loc[g["op"] != "delete", "nbytes"].max())
-        if (g["op"] != "delete").any()
-        else 0,
+        batch_expr=lambda g: g.loc[g["op"] != "delete"]
+        .groupby(["lang", "repo"])["nbytes"]
+        .max(),
         agg="max",
     ),
 ]
