@@ -69,16 +69,19 @@ def run_bench() -> dict:
     wal = em._ensure_wal(SF_DIR)
     _warm_cache(wal.segment_files)
     lake = os.path.join(em._SCRATCH, f"bench-lake-{NUM_CPUS}")
-    shutil.rmtree(lake, ignore_errors=True)
-    t0 = time.perf_counter()
-    eng = ReplayEngine(
-        wal.wal_dir,
-        lake,
-        num_buckets=max(2 * NUM_CPUS, 32),
-        concurrency=NUM_CPUS,
-    )
-    eng.replay_all()
-    cdc_sec = time.perf_counter() - t0
+    cdc_trials = []
+    for _ in range(2):  # best-of-2: the sandbox VM has bursty interference
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        eng = ReplayEngine(
+            wal.wal_dir,
+            lake,
+            num_buckets=max(2 * NUM_CPUS, 32),
+            concurrency=NUM_CPUS,
+        )
+        eng.replay_all()
+        cdc_trials.append(time.perf_counter() - t0)
+    cdc_sec = min(cdc_trials)
     timings["cdc_replay"] = round(cdc_sec, 3)
     em._REPLAY_CACHE[em._sf_tag(SF_DIR)] = (wal, lake)
 
@@ -113,10 +116,15 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int = 8, hi: int = 32, pairs: int = 3) -> dict:
     """Fresh-process runs of the identical CDC replay at two parallelism
-    levels; efficiency = throughput(hi) / (hi/lo · throughput(lo))."""
-    # pre-generate + warm so both runs measure compute+shuffle, not gen/IO
+    levels; efficiency = throughput(hi) / (hi/lo · throughput(lo)).
+
+    Trials are INTERLEAVED (lo, hi, lo, hi, …) because this sandbox VM
+    drifts between fast and slow phases (noisy neighbors): a sequential
+    lo-then-hi schedule confounds the phase with the CPU count. Reported
+    efficiency uses the best trial of each level plus per-pair values."""
+    # pre-generate + warm so runs measure compute+shuffle, not gen/IO
     import __ray_entry__ as em
 
     wal = em._ensure_wal(SF_DIR)
@@ -128,6 +136,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=SF_DIR,
             GRAFT_BENCH_CDC_ONLY="1",
+            GRAFT_BENCH_TRIALS="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
@@ -138,20 +147,27 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
-    tput_lo = r_lo["cdc_events_per_sec"]
-    tput_hi = r_hi["cdc_events_per_sec"]
-    eff = tput_hi / ((hi / lo) * tput_lo)
+    lo_secs, hi_secs, pair_eff = [], [], []
+    events = None
+    for _ in range(pairs):
+        r_lo, r_hi = one(lo), one(hi)
+        events = r_lo["cdc_events"]
+        lo_secs.append(r_lo["value"])
+        hi_secs.append(r_hi["value"])
+        pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+    sec_lo, sec_hi = min(lo_secs), min(hi_secs)
+    eff = (sec_lo / sec_hi) / (hi / lo)
     return {
         "metric": f"CDC replay scaling {lo}→{hi} CPUs (N→4N proxy)",
         "sf": os.path.basename(SF_DIR),
-        "cdc_events": r_lo["cdc_events"],
-        f"sec_{lo}": r_lo["value"],
-        f"sec_{hi}": r_hi["value"],
-        f"trials_sec_{lo}": r_lo.get("trials_sec"),
-        f"trials_sec_{hi}": r_hi.get("trials_sec"),
-        f"events_per_sec_{lo}": tput_lo,
-        f"events_per_sec_{hi}": tput_hi,
+        "cdc_events": events,
+        f"sec_{lo}": sec_lo,
+        f"sec_{hi}": sec_hi,
+        f"trials_sec_{lo}": lo_secs,
+        f"trials_sec_{hi}": hi_secs,
+        f"events_per_sec_{lo}": round(events / sec_lo, 1),
+        f"events_per_sec_{hi}": round(events / sec_hi, 1),
+        "pair_efficiencies": pair_eff,
         "scaling_efficiency": round(eff, 3),
         "note": "single shared-memory VM proxy for N→4N nodes: the data plane "
         "saturates the box's DRAM bandwidth well below 32 cores and run-to-run "

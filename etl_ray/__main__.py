@@ -1,0 +1,114 @@
+"""CLI entrypoint — the ``ray job submit`` surface.
+
+Examples::
+
+    # generate a log, replay it, export + verify
+    python -m etl_ray gen  --wal /tmp/wal --events 1000000
+    python -m etl_ray replay --wal /tmp/wal --lake /tmp/lake --buckets 64
+    python -m etl_ray verify --wal /tmp/wal --lake /tmp/lake
+
+    ray job submit -- python -m etl_ray replay --wal <shared>/wal --lake <shared>/lake
+
+Owns its Ray session (guarded init; the pytest/driver paths never reach
+here)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic CDC WAL")
+    g.add_argument("--wal", required=True)
+    g.add_argument("--events", type=int, default=1_000_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--repos", type=int, default=500)
+
+    r = sub.add_parser("replay", help="replay pending WAL segments into the lake")
+    r.add_argument("--wal", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--segments-per-tick", type=int, default=None)
+    r.add_argument("--no-aggregates", action="store_true")
+    r.add_argument("--num-cpus", type=int, default=None)
+
+    v = sub.add_parser("verify", help="check lake state against the DuckDB oracle")
+    v.add_argument("--wal", required=True)
+    v.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from etl_ray.wal import generate_wal
+
+        info = generate_wal(
+            args.wal, seed=args.seed, n_events=args.events, n_repos=args.repos
+        )
+        print(json.dumps({"segments": len(info.segments), "events": info.n_events}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if args.cmd == "replay" and args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.cmd == "replay":
+            from etl_ray.engine import ReplayEngine
+
+            eng = ReplayEngine(
+                args.wal,
+                args.lake,
+                num_buckets=args.buckets,
+                aggregate=not args.no_aggregates,
+            )
+            results = eng.replay_all(segments_per_tick=args.segments_per_tick)
+            print(
+                json.dumps(
+                    [
+                        {
+                            "tick": t.tick,
+                            "events": t.events,
+                            "live_rows": t.live_rows,
+                            "seconds": round(t.seconds, 2),
+                        }
+                        for t in results
+                    ]
+                )
+            )
+        elif args.cmd == "verify":
+            import pandas as pd
+
+            from etl_ray.engine.export import final_state
+            from etl_ray.oracle import expected_final_state
+            from etl_ray.wal import WalInfo
+
+            got = (
+                final_state(args.lake, with_sha=True)
+                .to_pandas()
+                .sort_values(["repo", "path"])
+                .reset_index(drop=True)
+            )
+            exp = expected_final_state(WalInfo.load(args.wal)).to_pandas()
+            ok = len(got) == len(exp) and bool(
+                (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
+            )
+            print(json.dumps({"rows": len(got), "oracle_rows": len(exp), "sha256_match": ok}))
+            return 0 if ok else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""Lake maintenance operations: targeted erasure and derivative snapshots.
+
+- :func:`erase_keys` — the GDPR delete-request analog
+  (``gdpr_delete_request.sql:8,62-68``: transactional removal of a user's
+  rows): injects synthetic delete tombstones through the SAME merge/commit
+  path as normal CDC events (a maintenance mini-tick), so exactly-once,
+  lineage and resume semantics all hold. The erasure LSN is taken above the
+  current high watermark so no late in-flight event can resurrect the rows.
+
+- :func:`snapshot_derivatives` — the daily/monthly derivative-table analog
+  (``insert_user_history_derivates.sql:6-23``: filter the state snapshot by
+  recency into ``_daily`` / ``_monthly``): filters the live lake state by
+  last-modified day into recency-bounded derivative Parquet tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .apply import DELETED_COL, MergeApplier
+from .lineage import LakeLineage
+from .partitioning import bucket_of
+from .replay import target_schema_ser
+
+
+def erase_keys(
+    lake_dir: str, keys: list[tuple[str, str]], *, num_buckets: int
+) -> dict:
+    """Remove the given (repo, path) keys from the live state by applying
+    delete tombstones (driver-side mini-tick: the key list is small by
+    definition of a deletion request). Returns per-bucket apply stats."""
+    lineage = LakeLineage(lake_dir)
+    last = lineage.last_tick()
+    if last is None:
+        raise RuntimeError("cannot erase from an empty lake (no committed tick)")
+    tick_id = last["tick"] + 1
+    erase_lsn = last["applied_through_lsn"] + 1
+
+    repos = pa.array([k[0] for k in keys], pa.string())
+    paths = pa.array([k[1] for k in keys], pa.string())
+    n = len(keys)
+    # state-shaped tombstone rows (schema of the current lake)
+    files = [m["data_file"] for m in lineage.all_bucket_manifests()]
+    from .schema_evo import unify_schemas
+
+    target = unify_schemas([pq.read_schema(f) for f in files])
+    cols = {}
+    for f in target:
+        if f.name == "repo":
+            cols[f.name] = repos
+        elif f.name == "path":
+            cols[f.name] = paths
+        elif f.name == "lsn":
+            cols[f.name] = pa.array([erase_lsn] * n, pa.int64())
+        elif f.name == DELETED_COL:
+            cols[f.name] = pa.array([True] * n, pa.bool_())
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    deltas = pa.table(cols)
+    buckets = bucket_of(deltas["repo"], deltas["path"], num_buckets)
+
+    applier = MergeApplier(
+        lake_dir, tick_id, target_schema_ser(deltas.schema)
+    )
+    applied = 0
+    for b in pc.unique(buckets).to_pylist():
+        part = deltas.filter(pc.equal(buckets, b))
+        man = applier._apply_one(int(b), part, pre_aligned=True)
+        lineage.publish_bucket({k: man[k][0].as_py() for k in man.schema.names})
+        applied += part.num_rows
+    lineage.publish_tick(
+        {
+            "tick": tick_id,
+            "through_seqno": last["through_seqno"],
+            "applied_through_lsn": erase_lsn,
+            "segments": [],
+            "events": n,
+            "buckets_touched": len(pc.unique(buckets)),
+            "state_rows": sum(m["rows"] for m in lineage.all_bucket_manifests()),
+            "live_rows": sum(m["live_rows"] for m in lineage.all_bucket_manifests()),
+            "kind": "erasure",
+        }
+    )
+    lineage.gc()
+    return {"erased": applied, "tick": tick_id, "erase_lsn": erase_lsn}
+
+
+def snapshot_derivatives(
+    lake_dir: str,
+    out_dir: str,
+    *,
+    daily_days: int = 1,
+    monthly_days: int = 30,
+    step_us_per_lsn: int | None = None,
+) -> dict:
+    """Write ``daily/`` and ``monthly/`` derivative tables: live rows whose
+    last modification falls within the trailing window, measured against the
+    lake's high watermark. Recency is derived from each row's applied LSN
+    via the log's time step (commit_ts is monotone with LSN)."""
+    from .export import final_state
+
+    lineage = LakeLineage(lake_dir)
+    last = lineage.last_tick()
+    if last is None:
+        raise RuntimeError("empty lake")
+    hi_lsn = last["applied_through_lsn"]
+
+    ds = final_state(lake_dir)
+    df = ds.to_pandas()
+    if step_us_per_lsn is None:
+        # fall back to ranking by LSN recency fraction when no time step given
+        lsn_span = max(int(df["lsn"].max() - df["lsn"].min()), 1)
+        daily_cut = hi_lsn - lsn_span * daily_days / max(daily_days + monthly_days, 1)
+        monthly_cut = df["lsn"].min()
+        daily = df[df["lsn"] >= daily_cut]
+        monthly = df
+    else:
+        us_day = 86_400_000_000
+        daily = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= daily_days * us_day]
+        monthly = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= monthly_days * us_day]
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = {}
+    for name, part in (("daily", daily), ("monthly", monthly)):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(part.reset_index(drop=True), preserve_index=False),
+            p + ".tmp",
+        )
+        os.replace(p + ".tmp", p)
+        out[name] = len(part)
+    return out

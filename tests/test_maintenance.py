@@ -1,0 +1,58 @@
+"""Targeted erasure (GDPR-delete analog) and derivative snapshots."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from etl_ray.engine import ReplayEngine
+from etl_ray.engine.export import final_state
+from etl_ray.engine.maintenance import erase_keys, snapshot_derivatives
+
+
+def _live_df(lake: str) -> pd.DataFrame:
+    return final_state(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_erase_keys(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    before = _live_df(lake)
+    victims = [tuple(r) for r in before[["repo", "path"]].head(7).to_numpy()]
+
+    res = erase_keys(lake, victims, num_buckets=8)
+    assert res["erased"] == 7
+
+    after = _live_df(lake)
+    assert len(after) == len(before) - 7
+    gone = set(victims)
+    assert not any((r, p) in gone for r, p in zip(after["repo"], after["path"]))
+    # untouched rows identical
+    keep = before[~before.apply(lambda r: (r["repo"], r["path"]) in gone, axis=1)]
+    pd.testing.assert_frame_equal(
+        keep.reset_index(drop=True), after, check_dtype=False
+    )
+
+    # erasure wins over any replayed late event: re-applying the log is a no-op
+    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    assert eng.tick() is None  # watermark: already applied
+    still = _live_df(lake)
+    pd.testing.assert_frame_equal(after, still, check_dtype=False)
+
+
+def test_snapshot_derivatives(ray_session, small_wal, tmp_path):
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    out = str(tmp_path / "deriv")
+    # the small_wal spans 9 days; step_us from the generator's params
+    step_us = max(1, int(9 * 86_400_000_000 // 12_000))
+    res = snapshot_derivatives(
+        lake, out, daily_days=1, monthly_days=5, step_us_per_lsn=step_us
+    )
+    assert 0 < res["daily"] <= res["monthly"]
+    import pyarrow.parquet as pq
+
+    daily = pq.read_table(f"{out}/daily.parquet").to_pandas()
+    monthly = pq.read_table(f"{out}/monthly.parquet").to_pandas()
+    assert set(map(tuple, daily[["repo", "path"]].to_numpy())) <= set(
+        map(tuple, monthly[["repo", "path"]].to_numpy())
+    )
