@@ -150,3 +150,77 @@ class SpilledMergeApplier(MergeApplier):
 
     def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
         return self.apply_spilled(batch)
+
+
+import ray as _ray
+
+
+@_ray.remote(num_cpus=1)
+class WarmApplierActor:
+    """Persistent merge applier holding its buckets' state ACROSS ticks.
+
+    Ray Data actor pools die with their pipeline, so cross-tick warm state —
+    the reference's "state table stays put, deltas come to it" shape
+    (``insert_user_history.sql:293-299``; SURVEY §7.4 hard part "state
+    hydration cost vs streaming") — is the one place this engine drops to a
+    raw Ray actor. Buckets are assigned statically (bucket % pool) so a
+    bucket always lands on the same actor; on a cache miss (first tick,
+    actor restart, eviction) state is lazily hydrated from the bucket's
+    committed manifest file, which also makes the actor crash-safe.
+
+    Durability is unchanged: every apply still writes the bucket state file
+    and the driver still publishes manifests — the cache only removes the
+    per-tick parquet read+decode of unchanged state.
+    """
+
+    def __init__(self, lake_dir: str, max_cached: int = 256):
+        self.lineage = LakeLineage(lake_dir)
+        self.cache: dict[int, pa.Table] = {}
+        self.max_cached = max_cached
+
+    def apply(self, bucket: int, files: list[str], rgs: list[int], tick: int,
+              schema_ser: bytes) -> dict:
+        target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+        pf_cache: dict[str, pq.ParquetFile] = {}
+        parts = []
+        for f, rg in zip(files, rgs):
+            pf = pf_cache.get(f)
+            if pf is None:
+                pf = pf_cache[f] = pq.ParquetFile(f)
+            parts.append(align_to(pf.read_row_group(rg), target))
+        deltas = pa.concat_tables(parts)
+
+        state = self.cache.get(bucket)
+        if state is None:
+            man = self.lineage.bucket_manifest(bucket)
+            if man is not None:
+                state = pq.read_table(man["data_file"])
+        if state is not None:
+            merged_schema = unify_schemas([state.schema, deltas.schema])
+            merged = pa.concat_tables(
+                [align_to(state, merged_schema), align_to(deltas, merged_schema)]
+            )
+        else:
+            merged = deltas
+        merged = last_writer(merged, keys=KEYS)
+        merged = merged.sort_by([(k, "ascending") for k in KEYS])
+
+        out_path = self.lineage.bucket_state_path(bucket, tick)
+        tmp = out_path + f".{os.getpid()}.tmp"
+        pq.write_table(merged, tmp, compression="zstd")
+        os.replace(tmp, out_path)
+
+        if len(self.cache) >= self.max_cached and bucket not in self.cache:
+            self.cache.pop(next(iter(self.cache)))  # FIFO evict
+        self.cache[bucket] = merged
+
+        live = merged.num_rows - pc.sum(merged[DELETED_COL]).as_py()
+        return {
+            "bucket": int(bucket),
+            "tick": int(tick),
+            "applied_lsn": int(pc.max(merged["lsn"]).as_py()),
+            "rows": int(merged.num_rows),
+            "live_rows": int(live),
+            "delta_rows": int(deltas.num_rows),
+            "data_file": out_path,
+        }

@@ -68,6 +68,7 @@ class ReplayEngine:
         concurrency: int | tuple[int, int] | None = None,
         aggregate: bool = True,
         shuffle: str = "spill",  # "spill" (shared-FS) | "hash" | "sort"
+        warm_state: bool = True,  # persistent applier actors across ticks
         fail_after_buckets: int | None = None,  # crash injection for tests
     ):
         self.shuffle = shuffle
@@ -77,7 +78,31 @@ class ReplayEngine:
         self.num_buckets = num_buckets
         self.concurrency = concurrency
         self.aggregate = aggregate
+        self.warm_state = warm_state and shuffle == "spill"
+        self._warm_actors: list | None = None
         self.fail_after_buckets = fail_after_buckets
+
+    def _warm_pool(self):
+        """Lazily created persistent applier actors (see WarmApplierActor).
+        num_cpus=0: they are idle while the stage-1 Dataset runs and must
+        not reserve cores from it; stage 2 runs after a barrier, so the
+        pool effectively has the machine to itself. Handles are held on the
+        engine — dropping the engine terminates the actors."""
+        if self._warm_actors is None:
+            from .apply import WarmApplierActor
+
+            _, hi = self._applier_pool_size()
+            k = max(1, min(hi, self.num_buckets))
+            self._warm_actors = [
+                WarmApplierActor.options(num_cpus=0).remote(self.lake_dir)
+                for _ in range(k)
+            ]
+        return self._warm_actors
+
+    def invalidate_warm_state(self) -> None:
+        """Drop the warm pool (e.g. after out-of-band lake maintenance such
+        as ``maintenance.erase_keys`` — cached state would be stale)."""
+        self._warm_actors = None
 
     def _applier_pool_size(self) -> tuple[int, int]:
         """Autoscaling applier pool capped BELOW the CPU count: a fixed pool
@@ -192,6 +217,17 @@ class ReplayEngine:
         ]
         if not items:
             return None
+        if self.warm_state:
+            import ray as _r
+
+            pool = self._warm_pool()
+            futures = [
+                pool[it["bucket"] % len(pool)].apply.remote(
+                    it["bucket"], it["files"], it["rgs"], tick_id, schema_ser
+                )
+                for it in items
+            ]
+            return _r.get(futures)  # list of manifest dicts
         lo, hi = self._applier_pool_size()
         apply_ds = ray.data.from_items(items, override_num_blocks=len(items))
         return apply_ds.map_batches(
@@ -273,13 +309,17 @@ class ReplayEngine:
         try:
             applied = self._shuffle_apply(ds, tick_id, schema_ser)
             t_ap = time.perf_counter()
-            manifests = applied.take_all() if applied is not None else []
+            if applied is None:
+                manifests = []
+            elif isinstance(applied, list):  # warm-state path: manifest dicts
+                manifests = applied
+            else:
+                manifests = applied.take_all()
+                self.last_stats = applied.stats()  # per-stage breakdown
             if os.environ.get("ETL_RAY_DEBUG"):
                 print(f"[etl-ray] stage2 apply: {time.perf_counter() - t_ap:.2f}s", flush=True)
         finally:
             dctx.shuffle_strategy = prev_strategy
-        if applied is not None:
-            self.last_stats = applied.stats()  # per-stage breakdown for tuning
 
         # ---- two-phase commit: publish bucket manifests, then the tick ----
         events = sum(s["rows"] for s in segs)
