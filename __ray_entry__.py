@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from etl_ray.ops import multimodal as mm
     from etl_ray.ops import relational as rel
     from etl_ray.ops import similarity as sim
+    from etl_ray.ops import sketch as sk
     from etl_ray.ops import text as tx
 
     return {
@@ -175,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroid_norm": sim.emb_label_centroid_norm,
         # multimodal plumbing
         "media_features": mm.media_features,
+        # sketches + deterministic sampling
+        "events_approx_distinct_users": sk.events_approx_distinct_users,
+        "lineitem_approx_distinct_parts": sk.lineitem_approx_distinct_parts,
+        "events_sample": sk.events_sample,
     }
 
 
@@ -393,6 +398,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, neighbor_id, rank, cos FROM r
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "events_approx_distinct_users": """
+            -- KMV sketch is exact below its k=1024 capacity; the events
+            -- table has 150 distinct users per 10k rows, so this holds at
+            -- the driver's sf=0.01 (NOT at sf>=0.07 where distinct>k)
+            SELECT 'user_id' AS key,
+                   CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS approx_distinct
+            FROM events
         """,
         "emb_label_centroid_norm": """
             SELECT label, COUNT(*) AS n,
