@@ -135,3 +135,54 @@ def snapshot_derivatives(
         os.replace(p + ".tmp", p)
         out[name] = len(part)
     return out
+
+
+def compact_tombstones(lake_dir: str, *, keep_after_lsn: int | None = None) -> dict:
+    """Drop tombstones whose delete-LSN is at or below the safe watermark
+    (the documented GC policy: a tombstone only needs to outlive the maximum
+    possible lateness of the log; below the low watermark no event can
+    arrive that it would still need to shadow).
+
+    ``keep_after_lsn`` defaults to the lake's applied-through LSN (i.e. all
+    tombstones are collectable — valid once the WAL source is fully
+    consumed and closed). Rewrites only buckets that actually shrink.
+    """
+    lineage = LakeLineage(lake_dir)
+    last = lineage.last_tick()
+    if last is None:
+        raise RuntimeError("empty lake")
+    watermark = last["applied_through_lsn"] if keep_after_lsn is None else keep_after_lsn
+    tick_id = last["tick"] + 1
+
+    removed = rewritten = 0
+    for man in lineage.all_bucket_manifests():
+        t = pq.read_table(man["data_file"])
+        dead = pc.and_(t[DELETED_COL], pc.less_equal(t["lsn"], watermark))
+        n_dead = pc.sum(dead).as_py() or 0
+        if n_dead == 0:
+            continue
+        kept = t.filter(pc.invert(dead))
+        out_path = lineage.bucket_state_path(man["bucket"], tick_id)
+        pq.write_table(kept, out_path + ".tmp", compression="zstd")
+        os.replace(out_path + ".tmp", out_path)
+        lineage.publish_bucket(
+            dict(
+                man,
+                tick=tick_id,
+                rows=kept.num_rows,
+                data_file=out_path,
+            )
+        )
+        removed += n_dead
+        rewritten += 1
+    lineage.publish_tick(
+        dict(
+            last,
+            tick=tick_id,
+            kind="compaction",
+            events=0,
+            state_rows=sum(m["rows"] for m in lineage.all_bucket_manifests()),
+        )
+    )
+    lineage.gc()
+    return {"tombstones_removed": removed, "buckets_rewritten": rewritten, "tick": tick_id}

@@ -112,3 +112,19 @@ def test_tombstones_block_late_updates(ray_session, small_wal, tmp_path):
     assert df["deleted"].any(), "fixture must produce tombstones"
     dead = df[df["deleted"]]
     assert dead["content"].isna().all()
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("shuffle", ["sort", "hash"])
+def test_alternative_shuffles_match_oracle(ray_session, small_wal, tmp_path, shuffle):
+    """The sort-groupby and hash-repartition shuffle paths stay correct
+    (the spill path is the default; these are the fallbacks)."""
+    lake = str(tmp_path / f"lake-{shuffle}")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        shuffle=shuffle, aggregate=False,
+    )
+    eng.replay_all()
+    _assert_matches_oracle(lake, small_wal)

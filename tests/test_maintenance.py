@@ -56,3 +56,21 @@ def test_snapshot_derivatives(ray_session, small_wal, tmp_path):
     assert set(map(tuple, daily[["repo", "path"]].to_numpy())) <= set(
         map(tuple, monthly[["repo", "path"]].to_numpy())
     )
+
+
+def test_compact_tombstones(ray_session, small_wal, tmp_path):
+    from etl_ray.engine.maintenance import compact_tombstones
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    with_tombs = final_state(lake, include_tombstones=True).to_pandas()
+    n_dead = int(with_tombs["deleted"].sum())
+    assert n_dead > 0
+    live_before = _live_df(lake)
+
+    res = compact_tombstones(lake)
+    assert res["tombstones_removed"] == n_dead
+
+    after_all = final_state(lake, include_tombstones=True).to_pandas()
+    assert not after_all["deleted"].any()
+    pd.testing.assert_frame_equal(live_before, _live_df(lake), check_dtype=False)
