@@ -80,17 +80,19 @@ def user_daily_activity(sf_dir: str) -> pd.DataFrame:
     )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "day": [g["day"].iloc[0]],
-                "events": [int(g["events"].sum())],
-                "distinct_types": [int(g["event_type"].nunique())],
-                "total_value": [g["total_value"].sum()],
-            }
+        # one group per USER; the per-day rollup inside is one vectorized
+        # pandas groupby (not a Python call per (user, day))
+        out = g.groupby("day", as_index=False).agg(
+            events=("events", "sum"),
+            distinct_types=("event_type", "nunique"),
+            total_value=("total_value", "sum"),
         )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["events"] = out["events"].astype("int64")
+        out["distinct_types"] = out["distinct_types"].astype("int64")
+        return out
 
-    out = inter.groupby(["user_id", "day"]).map_groups(fold, batch_format="pandas")
+    out = inter.groupby("user_id").map_groups(fold, batch_format="pandas")
     df = round_cols(out.to_pandas(), {"total_value": 6})
     return df.sort_values(["user_id", "day"]).reset_index(drop=True)
 
