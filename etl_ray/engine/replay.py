@@ -144,6 +144,10 @@ class ReplayEngine:
         agglog_dirs = {}
         nb = self.num_buckets
         enrich = LangEnricher()
+        # capture plain values, NOT self: the closure ships to every task and
+        # self would drag along warm-actor handles and the WAL manifest
+        do_aggregate = self.aggregate
+        lineage = self.lineage
 
         def spill(batch: pa.Table) -> pa.Table:
             """Fused stage-1 task: enrich → (a) append the narrow per-day
@@ -157,14 +161,14 @@ class ReplayEngine:
             from .aggregates import _project
 
             batch = enrich(batch)
-            if self.aggregate:
+            if do_aggregate:
                 proj = _project(batch)
                 days_col = proj["day"]
                 for day in pc.unique(days_col).to_pylist():
                     part = proj.filter(pc.equal(days_col, day))
                     ddir = agglog_dirs.get(day)
                     if ddir is None:
-                        ddir = agglog_dirs[day] = self.lineage.agglog_day_dir(day)
+                        ddir = agglog_dirs[day] = lineage.agglog_day_dir(day)
                     fp = os.path.join(ddir, f"t{tick_id:06d}-{uuid.uuid4().hex}.parquet")
                     pq.write_table(part, fp + ".tmp", compression="snappy")
                     os.replace(fp + ".tmp", fp)

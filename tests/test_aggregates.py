@@ -55,3 +55,13 @@ def test_aggregates_incremental_multi_tick(ray_session, small_wal, tmp_path):
     res = eng.replay_all(segments_per_tick=2)
     assert len(res) >= 2
     _check_aggs(lake, small_wal)
+
+
+def test_aggregates_wal_fallback_path(ray_session, small_wal, tmp_path):
+    """Non-spill shuffles have no agg log; the WAL-rescan recompute path
+    must produce the same aggregates."""
+    lake = str(tmp_path / "lake")
+    ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, shuffle="sort"
+    ).replay_all()
+    _check_aggs(lake, small_wal)
