@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_extract": ev.events_json_extract,
         "events_cleaned": ev.events_cleaned,
         "user_state_fold": ev.user_state_fold,
+        "tumbling_window_counts": ev.tumbling_window_counts,
+        "sliding_window_counts": ev.sliding_window_counts,
+        "entity_union_by_name": rel.entity_union_by_name,
         # text analysis
         "doc_token_stats": tx.doc_token_stats,
         "lang_doc_summary": tx.lang_doc_summary,
@@ -345,6 +348,36 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type <> 'error' AND user_id NOT IN (0, 5, 10)
             ORDER BY event_id
+        """,
+        "tumbling_window_counts": """
+            SELECT CAST(floor(epoch_us(ts) / 21600000000) * 21600000000 AS BIGINT)
+                       AS window_start_us,
+                   event_type, COUNT(*) AS events, ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sliding_window_counts": """
+            WITH w AS (
+                SELECT CAST(floor(epoch_us(ts) / 43200000000) * 43200000000 AS BIGINT)
+                           AS window_start_us, value
+                FROM events
+                UNION ALL
+                SELECT CAST(floor((epoch_us(ts) - 21600000000) / 43200000000) * 43200000000
+                            + 21600000000 AS BIGINT), value
+                FROM events
+            )
+            SELECT window_start_us, COUNT(*) AS events,
+                   ROUND(SUM(value), 6) AS total_value
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "entity_union_by_name": """
+            SELECT kind, name, nationkey, acctbal, mktsegment FROM (
+                SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey,
+                       ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS mktsegment
+                FROM customer
+                UNION ALL
+                SELECT 'supplier', s_name, s_nationkey, ROUND(s_acctbal, 2), NULL
+                FROM supplier
+            ) ORDER BY kind, name
         """,
         "user_state_fold": """
             SELECT user_id,

@@ -297,3 +297,72 @@ def user_state_fold(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(fold, batch_format="pandas")
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+TUMBLE_US = 6 * 3600 * 1_000_000  # 6h windows
+SLIDE_SIZE_US = 12 * 3600 * 1_000_000  # 12h window ...
+SLIDE_HOP_US = 6 * 3600 * 1_000_000  # ... hopping every 6h
+
+
+def tumbling_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Tumbling event-time windows (streaming-window custom operator, guide
+    §streaming-shaped workloads): assign window id per batch, two-stage
+    grouped aggregate. No watermark needed for a closed log; in the engine
+    the same op runs per-changed-window like the daily aggregates."""
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(us, TUMBLE_US), TUMBLE_US)  # int floor-div
+        return pa.table(
+            {
+                "window_start_us": win,
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    ds = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_groupby(
+        ds,
+        ["window_start_us", "event_type"],
+        {"total_value": ("value", "sum")},
+        count_col="events",
+    )
+    df = round_cols(out.to_pandas(), {"total_value": 6})
+    return df.sort_values(["window_start_us", "event_type"]).reset_index(drop=True)[
+        ["window_start_us", "event_type", "events", "total_value"]
+    ]
+
+
+def sliding_window_counts(sf_dir: str) -> pd.DataFrame:
+    """Sliding (hopping) windows: each event replicates into
+    size/hop = 2 overlapping windows (the flat-map expansion), then a
+    grouped aggregate per window."""
+    ds = read(sf_dir, "events", columns=["ts", "value"])
+    k = SLIDE_SIZE_US // SLIDE_HOP_US  # 2
+
+    def expand(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        parts = []
+        for i in range(k):
+            # window start = floor((us - i*hop)/size)*size + i*hop
+            # (ts is epoch-positive so integer division == floor)
+            s = pc.add(
+                pc.multiply(
+                    pc.divide(pc.subtract(us, i * SLIDE_HOP_US), SLIDE_SIZE_US),
+                    SLIDE_SIZE_US,
+                ),
+                i * SLIDE_HOP_US,
+            )
+            parts.append(pa.table({"window_start_us": s, "value": t["value"]}))
+        return pa.concat_tables(parts)
+
+    ds = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_groupby(
+        ds, ["window_start_us"], {"total_value": ("value", "sum")}, count_col="events"
+    )
+    df = round_cols(out.to_pandas(), {"total_value": 6})
+    return df.sort_values("window_start_us").reset_index(drop=True)[
+        ["window_start_us", "events", "total_value"]
+    ]

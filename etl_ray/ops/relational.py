@@ -395,3 +395,56 @@ def events_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
     df = out.to_pandas()
     df = round_cols(df, {"total_value": 6})
     return df.sort_values("event_type").reset_index(drop=True)[["event_type", "n", "total_value"]]
+
+
+def entity_union_by_name(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolving UNION (the §1.3 additive-evolution util applied at
+    the ops layer): customer and supplier share some columns; the union is
+    promoted to the unified schema with null backfill for the columns a
+    side lacks (``align_to`` — same kernel the engine uses for old lake
+    partitions)."""
+    import pyarrow as pa
+
+    from ..engine.schema_evo import align_to
+
+    target = pa.schema(
+        [
+            ("kind", pa.string()),
+            ("name", pa.string()),
+            ("nationkey", pa.int32()),
+            ("acctbal", pa.float64()),
+            ("mktsegment", pa.string()),
+        ]
+    )
+
+    def cust(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "kind": pa.array(["customer"] * t.num_rows, pa.string()),
+                "name": t["c_name"],
+                "nationkey": t["c_nationkey"],
+                "acctbal": pc.round(t["c_acctbal"], ndigits=2),
+                "mktsegment": t["c_mktsegment"],
+            }
+        )
+        return align_to(out, target)
+
+    def supp(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "kind": pa.array(["supplier"] * t.num_rows, pa.string()),
+                "name": t["s_name"],
+                "nationkey": t["s_nationkey"],
+                "acctbal": pc.round(t["s_acctbal"], ndigits=2),
+            }
+        )
+        return align_to(out, target)  # mktsegment backfilled null
+
+    a = read(sf_dir, "customer").map_batches(cust, batch_format="pyarrow")
+    b = read(sf_dir, "supplier").map_batches(supp, batch_format="pyarrow")
+    return (
+        a.union(b)
+        .to_pandas()
+        .sort_values(["kind", "name"])
+        .reset_index(drop=True)
+    )
