@@ -29,6 +29,9 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def _wal_events_for(sf_dir: str) -> int:
+    override = os.environ.get("GRAFT_CDC_EVENTS")
+    if override:
+        return int(override)
     tag = _sf_tag(sf_dir)
     try:
         sf = float(tag.replace("sf", ""))
