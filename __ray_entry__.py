@@ -117,6 +117,23 @@ def cdc_repo_daily(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def cdc_repo_live_files(sf_dir: str):
+    """Per-repo live-file snapshot from the materialized lake state (A9-style
+    re-aggregation from state; pytest-oracled against the DuckDB log fold)."""
+    from etl_ray.engine.export import final_state
+    from etl_ray.ops.common import partial_groupby
+
+    _, lake = _replay(sf_dir)
+    ds = final_state(lake)
+    out = partial_groupby(
+        ds.map_batches(lambda t: t.select(["repo"]), batch_format="pyarrow"),
+        ["repo"],
+        {},
+        count_col="live_files",
+    )
+    return out.to_pandas().sort_values("repo").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return cdc_final_state("/root/testdata/sf0.001")
@@ -136,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_final_state": cdc_final_state,
         "cdc_lang_daily": cdc_lang_daily,
         "cdc_repo_daily": cdc_repo_daily,
+        "cdc_repo_live_files": cdc_repo_live_files,
         # relational ops
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_region": rel.revenue_by_region,

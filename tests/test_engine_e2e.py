@@ -128,3 +128,23 @@ def test_alternative_shuffles_match_oracle(ray_session, small_wal, tmp_path, shu
     )
     eng.replay_all()
     _assert_matches_oracle(lake, small_wal)
+
+
+def test_repo_live_files_snapshot(ray_session, small_wal, tmp_path):
+    """A9-style re-aggregation from state matches the oracle's log fold."""
+    from etl_ray.oracle import expected_repo_live_files
+    from etl_ray.engine.export import final_state
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    got = (
+        final_state(lake)
+        .to_pandas()
+        .groupby("repo", as_index=False)
+        .size()
+        .rename(columns={"size": "live_files"})
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    exp = expected_repo_live_files(small_wal).to_pandas()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
