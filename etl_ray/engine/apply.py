@@ -175,25 +175,36 @@ class WarmApplierActor:
 
     def __init__(self, lake_dir: str, max_cached: int = 256):
         self.lineage = LakeLineage(lake_dir)
-        self.cache: dict[int, pa.Table] = {}
+        # bucket → (data_file the cache corresponds to, state table)
+        self.cache: dict[int, tuple[str, pa.Table]] = {}
         self.max_cached = max_cached
+        self._pf_cache: dict[str, pq.ParquetFile] = {}
+        self._pf_tick = -1
 
     def apply(self, bucket: int, files: list[str], rgs: list[int], tick: int,
               schema_ser: bytes) -> dict:
         target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
-        pf_cache: dict[str, pq.ParquetFile] = {}
+        if tick != self._pf_tick:  # shuffle files are per tick
+            self._pf_cache = {}
+            self._pf_tick = tick
         parts = []
         for f, rg in zip(files, rgs):
-            pf = pf_cache.get(f)
+            pf = self._pf_cache.get(f)
             if pf is None:
-                pf = pf_cache[f] = pq.ParquetFile(f)
+                pf = self._pf_cache[f] = pq.ParquetFile(f)
             parts.append(align_to(pf.read_row_group(rg), target))
         deltas = pa.concat_tables(parts)
 
-        state = self.cache.get(bucket)
-        if state is None:
-            man = self.lineage.bucket_manifest(bucket)
-            if man is not None:
+        # validate the cache against the COMMITTED manifest: out-of-band
+        # maintenance (erase_keys, compact_tombstones) or another writer
+        # changes data_file, which invalidates us automatically
+        man = self.lineage.bucket_manifest(bucket)
+        state = None
+        cached = self.cache.get(bucket)
+        if man is not None:
+            if cached is not None and cached[0] == man["data_file"]:
+                state = cached[1]
+            else:
                 state = pq.read_table(man["data_file"])
         if state is not None:
             merged_schema = unify_schemas([state.schema, deltas.schema])
@@ -212,7 +223,7 @@ class WarmApplierActor:
 
         if len(self.cache) >= self.max_cached and bucket not in self.cache:
             self.cache.pop(next(iter(self.cache)))  # FIFO evict
-        self.cache[bucket] = merged
+        self.cache[bucket] = (out_path, merged)
 
         live = merged.num_rows - pc.sum(merged[DELETED_COL]).as_py()
         return {

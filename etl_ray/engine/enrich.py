@@ -1,10 +1,12 @@
 """Incremental enrichment: language tagging from the path extension.
 
 Analog of the reference's broadcast dimension joins (VAT / currency / country
-map — ``insert_user_history.sql:102-108``) and GeoIP enrichment (ST6): the
-small side is put in the object store ONCE (``ray.put``) on the driver and
-each worker/actor reads it once in ``__init__`` — never re-shipped per batch,
-never shuffled.
+map — ``insert_user_history.sql:102-108``) and GeoIP enrichment (ST6). The
+ext→lang dimension here is tiny, so the engine simply ships it inside the
+stage closure; for a genuinely large dimension use the ``ray.put``-once /
+read-in-``__init__`` broadcast pattern (see
+``etl_ray/ops/relational.py::revenue_by_region`` for the worked example) by
+passing ``ext_map_ref``.
 
 Deletes carry null payloads in the WAL; enrichment still derives a
 deterministic ``lang`` for them from the path so downstream grouping is
@@ -21,11 +23,6 @@ import ray
 from ..wal import EXT_TO_LANG
 
 UNKNOWN_LANG = "unknown"
-
-
-def lang_table_ref() -> "ray.ObjectRef":
-    """Broadcast the ext→lang dimension once per job."""
-    return ray.put(dict(EXT_TO_LANG))
 
 
 class LangEnricher:

@@ -87,7 +87,6 @@ class LakeLineage:
         return out
 
     def publish_bucket(self, manifest: dict) -> None:
-        self._bucket_manifest_path(manifest["bucket"])
         _atomic_write_json(self._bucket_manifest_path(manifest["bucket"]), manifest)
 
     # -- tick manifests (the commit point) -----------------------------------
@@ -98,6 +97,13 @@ class LakeLineage:
             return None
         with open(ticks[-1]) as f:
             return json.load(f)
+
+    def all_ticks(self) -> list[dict]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.ticks_dir, "tick-*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
 
     def publish_tick(self, tick: dict) -> None:
         _atomic_write_json(

@@ -28,18 +28,39 @@ from .partitioning import bucket_of
 from .replay import target_schema_ser
 
 
+ERASE_LSN_GAP = 1 << 20  # tombstone headroom over in-flight (bounded-late) events
+
+
 def erase_keys(
-    lake_dir: str, keys: list[tuple[str, str]], *, num_buckets: int
+    lake_dir: str,
+    keys: list[tuple[str, str]],
+    *,
+    num_buckets: int | None = None,
+    lsn_gap: int = ERASE_LSN_GAP,
 ) -> dict:
     """Remove the given (repo, path) keys from the live state by applying
     delete tombstones (driver-side mini-tick: the key list is small by
-    definition of a deletion request). Returns per-bucket apply stats."""
+    definition of a deletion request). Returns per-bucket apply stats.
+
+    The tombstone LSN is placed ``lsn_gap`` ABOVE the applied watermark so
+    WAL events already emitted but not yet applied (bounded lateness —
+    within the gap) cannot out-rank it and resurrect the erased rows;
+    genuinely NEW events beyond the gap legitimately re-create the key.
+    ``num_buckets`` defaults to the lake's own committed bucket count.
+
+    NOTE: out-of-band maintenance changes each touched bucket's data_file,
+    which automatically invalidates any WarmApplierActor caches (they
+    validate against the committed manifest per apply)."""
     lineage = LakeLineage(lake_dir)
     last = lineage.last_tick()
     if last is None:
         raise RuntimeError("cannot erase from an empty lake (no committed tick)")
+    if num_buckets is None:
+        num_buckets = last.get("num_buckets")
+        if num_buckets is None:
+            raise ValueError("lake predates bucket-count lineage; pass num_buckets")
     tick_id = last["tick"] + 1
-    erase_lsn = last["applied_through_lsn"] + 1
+    erase_lsn = last["applied_through_lsn"] + lsn_gap
 
     repos = pa.array([k[0] for k in keys], pa.string())
     paths = pa.array([k[1] for k in keys], pa.string())
@@ -96,12 +117,13 @@ def snapshot_derivatives(
     *,
     daily_days: int = 1,
     monthly_days: int = 30,
-    step_us_per_lsn: int | None = None,
+    step_us_per_lsn: int,
 ) -> dict:
     """Write ``daily/`` and ``monthly/`` derivative tables: live rows whose
     last modification falls within the trailing window, measured against the
     lake's high watermark. Recency is derived from each row's applied LSN
-    via the log's time step (commit_ts is monotone with LSN)."""
+    via the log's time step (``step_us_per_lsn`` — commit_ts is monotone
+    with LSN, so lsn distance × step = event-time distance)."""
     from .export import final_state
 
     lineage = LakeLineage(lake_dir)
@@ -112,17 +134,9 @@ def snapshot_derivatives(
 
     ds = final_state(lake_dir)
     df = ds.to_pandas()
-    if step_us_per_lsn is None:
-        # fall back to ranking by LSN recency fraction when no time step given
-        lsn_span = max(int(df["lsn"].max() - df["lsn"].min()), 1)
-        daily_cut = hi_lsn - lsn_span * daily_days / max(daily_days + monthly_days, 1)
-        monthly_cut = df["lsn"].min()
-        daily = df[df["lsn"] >= daily_cut]
-        monthly = df
-    else:
-        us_day = 86_400_000_000
-        daily = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= daily_days * us_day]
-        monthly = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= monthly_days * us_day]
+    us_day = 86_400_000_000
+    daily = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= daily_days * us_day]
+    monthly = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= monthly_days * us_day]
 
     os.makedirs(out_dir, exist_ok=True)
     out = {}

@@ -32,7 +32,8 @@ class MetricSpec:
     grain: str  # "lang_daily" | "repo_daily"
     batch_expr: Callable[[pd.DataFrame], pd.Series]  # group rows -> per-repo Series
     agg: str = "sum"  # sum | max | min
-    dtype: str = "int64"
+    # metric columns are materialized as float64 (NaN where a partition has
+    # no qualifying rows) — see aggregates._write_agg_partitions
 
     def __post_init__(self):
         if self.grain not in ("lang_daily", "repo_daily"):

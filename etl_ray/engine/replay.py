@@ -160,6 +160,15 @@ class ReplayEngine:
 
             from .aggregates import _project
 
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int32()),
+                        "file": pa.array([], pa.string()),
+                        "rg": pa.array([], pa.int32()),
+                        "rows": pa.array([], pa.int64()),
+                    }
+                )
             batch = enrich(batch)
             if do_aggregate:
                 proj = _project(batch)
@@ -274,6 +283,12 @@ class ReplayEngine:
         last = self.lineage.last_tick()
         through = last["through_seqno"] if last else -1
         tick_id = (last["tick"] + 1) if last else 0
+        # the bucket count is a property of the LAKE, not the run: resuming
+        # with a different value would scatter a key's updates away from its
+        # committed state row (duplicate live keys). Adopt the lake's value.
+        if last is not None and last.get("num_buckets") not in (None, self.num_buckets):
+            self.num_buckets = last["num_buckets"]
+            self._warm_actors = None
         segs = pending_segments(self.wal, through, max_segments)
         if not segs:
             return None
@@ -336,25 +351,37 @@ class ReplayEngine:
             state_rows += m["rows"]
             live_rows += m["live_rows"]
 
+        agglog_this_tick = self.aggregate and self.shuffle == "spill"
         if self.aggregate:
             days = aggregates.days_of_segments(segs)
-            if self.shuffle == "spill":
+            # the agg log is only complete if EVERY segment-processing tick
+            # so far maintained it; after a mode switch (sort/hash shuffle,
+            # or aggregate=False ticks) fall back to the WAL rescan
+            log_complete = agglog_this_tick and all(
+                t.get("agglog", False) for t in self.lineage.all_ticks() if t.get("segments")
+            )
+            if log_complete:
                 aggregates.recompute_days_from_agglog(self.lineage, days)
             else:
                 aggregates.recompute_days(
                     self.wal, self.lineage, days, segs[-1]["seqno"]
                 )
 
+        prev_hi = last["applied_through_lsn"] if last else 0
         self.lineage.publish_tick(
             {
                 "tick": tick_id,
                 "through_seqno": segs[-1]["seqno"],
-                "applied_through_lsn": max(s["max_lsn"] for s in segs),
+                # never regress the watermark (an erasure tick may sit above
+                # the log's own max LSN)
+                "applied_through_lsn": max(prev_hi, max(s["max_lsn"] for s in segs)),
                 "segments": [s["seqno"] for s in segs],
                 "events": events,
                 "buckets_touched": len(manifests),
                 "state_rows": state_rows,
                 "live_rows": live_rows,
+                "num_buckets": self.num_buckets,
+                "agglog": agglog_this_tick,
             }
         )
         self.lineage.gc()

@@ -74,3 +74,23 @@ def test_compact_tombstones(ray_session, small_wal, tmp_path):
     after_all = final_state(lake, include_tombstones=True).to_pandas()
     assert not after_all["deleted"].any()
     pd.testing.assert_frame_equal(live_before, _live_df(lake), check_dtype=False)
+
+
+def test_erase_survives_inflight_events(ray_session, small_wal, tmp_path):
+    """Erasure must not be resurrected by WAL events already emitted but not
+    yet applied (they fall inside the erase-LSN gap)."""
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    eng.tick(max_segments=2)  # partial replay: later segments are in flight
+
+    part = _live_df(lake)
+    victims = [tuple(r) for r in part[["repo", "path"]].head(10).to_numpy()]
+    erase_keys(lake, victims)  # num_buckets from lineage
+
+    # a fresh engine consumes the remaining (in-flight) segments
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    after = _live_df(lake)
+    gone = set(victims)
+    assert not any(
+        (r, p) in gone for r, p in zip(after["repo"], after["path"])
+    ), "in-flight events resurrected erased keys"
