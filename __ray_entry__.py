@@ -67,8 +67,10 @@ _REPLAY_CACHE: dict[str, tuple] = {}
 
 def _replay(sf_dir: str):
     """Replay the WAL for this sf into a fresh lake; return (wal, lake_dir).
-    Memoized per process so the three cdc_* queries share one replay."""
-    tag = _sf_tag(sf_dir)
+    Memoized per process (keyed by sf tag AND event count, since
+    GRAFT_CDC_EVENTS can change between calls) so the cdc_* queries share
+    one replay."""
+    tag = f"{_sf_tag(sf_dir)}-{_wal_events_for(sf_dir)}"
     if tag in _REPLAY_CACHE:
         return _REPLAY_CACHE[tag]
     from etl_ray.engine import ReplayEngine

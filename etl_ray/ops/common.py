@@ -78,7 +78,7 @@ def partial_groupby(
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     final_aggs = []
     for out, (col, how) in aggs.items():
-        fn = _AGGS["sum" if how == "sum" else how]
+        fn = Sum if how == "sum" else _AGGS[how]  # partial sums re-sum; min/max idempotent
         final_aggs.append(fn(f"__p_{out}", alias_name=out))
     if count_col:
         final_aggs.append(Sum(f"__p_{count_col}", alias_name=count_col))

@@ -123,9 +123,15 @@ def doc_minhash_lsh_pairs(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            # typed empty: singleton buckets are the common case and an
+            # untyped empty frame (float64) would poison the id dtype
+            return pd.DataFrame(
+                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
+            )
         ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pd.DataFrame(
+            {"doc_a": ids[ia].astype("int64"), "doc_b": ids[ib].astype("int64")}
+        )
 
     pairs = (
         band_ds.groupby(["band", "band_hash"])

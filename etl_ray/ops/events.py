@@ -243,10 +243,9 @@ def events_cleaned(sf_dir: str) -> pd.DataFrame:
     excluded_ref = ray.put({u for u in range(0, 15, 5)})  # deterministic fixture list
 
     def clean(t: pa.Table) -> pa.Table:
-        excluded = ray.get(excluded_ref)
+        excluded = pa.array(sorted(ray.get(excluded_ref)), pa.int64())
         keep = pc.invert(pc.equal(t["event_type"], "error"))
-        uid = t["user_id"]
-        not_excl = pa.array([u not in excluded for u in uid.to_pylist()])
+        not_excl = pc.invert(pc.is_in(t["user_id"], value_set=excluded))
         t = t.filter(pc.and_(keep, not_excl))
         return pa.table(
             {
@@ -343,19 +342,24 @@ def sliding_window_counts(sf_dir: str) -> pd.DataFrame:
     k = SLIDE_SIZE_US // SLIDE_HOP_US  # 2
 
     def expand(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64())
+        if isinstance(t["ts"], pa.ChunkedArray):
+            us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        else:
+            us = t["ts"].cast(pa.int64()).to_numpy()
         parts = []
         for i in range(k):
-            # window start = floor((us - i*hop)/size)*size + i*hop
-            # (ts is epoch-positive so integer division == floor)
-            s = pc.add(
-                pc.multiply(
-                    pc.divide(pc.subtract(us, i * SLIDE_HOP_US), SLIDE_SIZE_US),
-                    SLIDE_SIZE_US,
-                ),
-                i * SLIDE_HOP_US,
+            # window start = floor((us - i*hop)/size)*size + i*hop —
+            # numpy floor_divide is a TRUE floor (pc.divide truncates toward
+            # zero, which diverges from the oracle for pre-epoch-adjacent ts)
+            s = (
+                np.floor_divide(us - i * SLIDE_HOP_US, SLIDE_SIZE_US) * SLIDE_SIZE_US
+                + i * SLIDE_HOP_US
             )
-            parts.append(pa.table({"window_start_us": s, "value": t["value"]}))
+            parts.append(
+                pa.table(
+                    {"window_start_us": pa.array(s, pa.int64()), "value": t["value"]}
+                )
+            )
         return pa.concat_tables(parts)
 
     ds = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)

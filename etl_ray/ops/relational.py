@@ -164,11 +164,10 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
     class AntiFilter:
         def __init__(self):
-            self.keys = ray.get(key_set)
+            self.keys = pa.array(sorted(ray.get(key_set)), pa.int64())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.keys for k in t["c_custkey"].to_pylist()])
-            return t.filter(mask)
+            return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=self.keys)))
 
     ds = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
     ds = ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
@@ -371,7 +370,15 @@ def events_csv_roundtrip(sf_dir: str) -> pd.DataFrame:
 
     import pyarrow.csv as pacsv
 
-    csv_dir = os.path.join("/tmp/etl_ray", f"csv-{os.path.basename(os.path.normpath(sf_dir))}")
+    # cache keyed by the SOURCE file identity (path+mtime+size), not just the
+    # directory basename — two datasets named sf0.01, or a regenerated
+    # parquet, must not reuse a stale export
+    import hashlib as _hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = _hashlib.md5(f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    csv_dir = os.path.join("/tmp/etl_ray", f"csv-{fp}")
     os.makedirs(csv_dir, exist_ok=True)
     csv_path = os.path.join(csv_dir, "events.csv")
     if not os.path.exists(csv_path):

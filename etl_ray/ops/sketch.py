@@ -47,7 +47,7 @@ def approx_distinct(
 
     def partial(t: pa.Table) -> pd.DataFrame:
         cols = [t[c].cast(pa.string()) for c in columns]
-        h = stable_hash64(*cols) if len(cols) > 1 else stable_hash64(cols[0])
+        h = stable_hash64(*cols)
         h = np.unique(h.astype(np.uint64))[:k]
         return pd.DataFrame({"sketch": [h.tobytes()]})
 

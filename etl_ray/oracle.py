@@ -39,10 +39,16 @@ def expected_final_state(wal: WalInfo, *, with_sha: bool = True) -> pa.Table:
     con = duckdb.connect()
     _wal_rel(con, wal)
     sha = ", sha256(content) AS content_sha256" if with_sha else ""
+    # a WAL generated with evolve_at_frac>=1 never has the evolved column
+    size_expr = (
+        "CAST(size_bytes AS BIGINT)"
+        if any(s.get("has_size_bytes") for s in wal.segments)
+        else "CAST(NULL AS BIGINT)"
+    )
     tbl = con.execute(
         f"""
         SELECT repo, path, "commit", lang, content,
-               CAST(size_bytes AS BIGINT) AS size_bytes, lsn{sha}
+               {size_expr} AS size_bytes, lsn{sha}
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn

@@ -52,7 +52,6 @@ EXT_TO_LANG = {
 # Epoch for commit_ts: fixed, so the log is a pure function of the seed.
 T0_US = pd.Timestamp("2024-01-01").value // 1000  # microseconds
 
-SEGMENT_GLOB = "seg-*.parquet"
 MANIFEST_NAME = "_segments.json"
 
 
@@ -65,6 +64,7 @@ class WalInfo:
     n_base_events: int  # distinct LSNs
     evolve_lsn: int  # size_bytes exists for lsn > evolve_lsn (0 = from start)
     segments: list[dict] = field(default_factory=list)
+    params: dict | None = None  # generation parameters (cache validation)
 
     @property
     def segment_files(self) -> list[str]:
@@ -79,6 +79,7 @@ class WalInfo:
                     "n_base_events": self.n_base_events,
                     "evolve_lsn": self.evolve_lsn,
                     "segments": self.segments,
+                    "params": self.params,
                 },
                 f,
                 indent=1,
@@ -95,6 +96,7 @@ class WalInfo:
             n_base_events=d["n_base_events"],
             evolve_lsn=d["evolve_lsn"],
             segments=d["segments"],
+            params=d.get("params"),
         )
 
 
@@ -228,22 +230,52 @@ def generate_wal(
     Returns a :class:`WalInfo`; also persists it as ``_segments.json`` (the
     segment lineage manifest the engine's source discovery reads).
     """
+    params = {
+        "seed": seed,
+        "n_events": int(n_events),
+        "n_repos": n_repos,
+        "paths_per_repo": paths_per_repo,
+        "zipf_s": zipf_s,
+        "delete_rate": delete_rate,
+        "dup_rate": dup_rate,
+        "ooo_window": ooo_window,
+        "evolve_at_frac": evolve_at_frac,
+        "segment_rows": segment_rows,
+        "content_min": content_min,
+        "content_max": content_max,
+        "days_span": days_span,
+        "chunk_rows": chunk_rows,
+    }
     manifest_path = os.path.join(wal_dir, MANIFEST_NAME)
     if os.path.exists(manifest_path) and not overwrite:
-        return WalInfo.load(wal_dir)
+        cached = WalInfo.load(wal_dir)
+        if cached.params == params:
+            return cached
+        # same dir, different parameters: the cache is stale — regenerate
+        overwrite = True
 
     os.makedirs(wal_dir, exist_ok=True)
     n = int(n_events)
     pool = _content_pool(np.random.RandomState(seed), 64, content_min, content_max)
     repo_names = np.array([f"org{r % 7}/repo{r:03d}" for r in range(n_repos)], dtype=object)
     step_us = max(1, int(days_span * 86_400_000_000 // max(n, 1)))
-    evolve_lsn = int(n * evolve_at_frac) if evolve_at_frac > 0 else 0
+    # evolve_at_frac semantics: <=0 → size_bytes present from the start
+    # (evolve_lsn 0); >=1 → never (evolve_lsn n, no lsn exceeds it);
+    # otherwise the column appears for lsn > n*frac
+    if evolve_at_frac <= 0:
+        evolve_lsn = 0
+    elif evolve_at_frac >= 1:
+        evolve_lsn = n
+    else:
+        evolve_lsn = int(n * evolve_at_frac)
 
-    info = WalInfo(wal_dir=wal_dir, n_events=0, n_base_events=n, evolve_lsn=evolve_lsn)
+    info = WalInfo(
+        wal_dir=wal_dir, n_events=0, n_base_events=n, evolve_lsn=evolve_lsn, params=params
+    )
 
     def flush_segment(seg: pd.DataFrame) -> None:
         seq = len(info.segments)
-        has_evo = evolve_lsn > 0 and bool((seg["lsn"] > evolve_lsn).any())
+        has_evo = bool((seg["lsn"] > evolve_lsn).any())
         cols = {
             "lsn": pa.array(seg["lsn"].to_numpy(), pa.int64()),
             "op": pa.array(seg["op"], pa.string()),
