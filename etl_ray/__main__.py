@@ -41,6 +41,18 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--wal", required=True)
     v.add_argument("--lake", required=True)
 
+    e = sub.add_parser("erase", help="GDPR-style targeted key erasure")
+    e.add_argument("--lake", required=True)
+    e.add_argument(
+        "--key",
+        action="append",
+        required=True,
+        help="repo:path pair; repeatable",
+    )
+
+    c = sub.add_parser("compact", help="GC tombstones below the lateness watermark")
+    c.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -86,6 +98,20 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 )
             )
+        elif args.cmd == "erase":
+            from etl_ray.engine.maintenance import erase_keys
+
+            keys = []
+            for kv in args.key:
+                repo, _, path = kv.partition(":")
+                if not path:
+                    p.error(f"--key must be repo:path, got {kv!r}")
+                keys.append((repo, path))
+            print(json.dumps(erase_keys(args.lake, keys)))
+        elif args.cmd == "compact":
+            from etl_ray.engine.maintenance import compact_tombstones
+
+            print(json.dumps(compact_tombstones(args.lake)))
         elif args.cmd == "verify":
             import pandas as pd
 

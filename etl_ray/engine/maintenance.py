@@ -104,6 +104,7 @@ def erase_keys(
             "buckets_touched": len(pc.unique(buckets)),
             "state_rows": sum(m["rows"] for m in lineage.all_bucket_manifests()),
             "live_rows": sum(m["live_rows"] for m in lineage.all_bucket_manifests()),
+            "num_buckets": num_buckets,  # propagate lake config lineage
             "kind": "erasure",
         }
     )

@@ -94,3 +94,21 @@ def test_erase_survives_inflight_events(ray_session, small_wal, tmp_path):
     assert not any(
         (r, p) in gone for r, p in zip(after["repo"], after["path"])
     ), "in-flight events resurrected erased keys"
+
+
+def test_chained_maintenance_ops(ray_session, small_wal, tmp_path):
+    """erase → erase → compact → erase must chain: every maintenance tick
+    propagates the lake's bucket-count lineage."""
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    ks = [tuple(r) for r in _live_df(lake)[["repo", "path"]].head(3).to_numpy()]
+    from etl_ray.engine.maintenance import compact_tombstones
+
+    r1 = erase_keys(lake, [ks[0]])
+    r2 = erase_keys(lake, [ks[1]])  # reads num_buckets from the erasure tick
+    compact_tombstones(lake)
+    r3 = erase_keys(lake, [ks[2]])  # after a compaction tick
+    assert r1["erase_lsn"] < r2["erase_lsn"] < r3["erase_lsn"]
+    after = _live_df(lake)
+    gone = set(ks)
+    assert not any((r, p) in gone for r, p in zip(after["repo"], after["path"]))
