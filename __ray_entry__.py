@@ -87,13 +87,15 @@ def _replay(sf_dir: str):
 def cdc_final_state(sf_dir: str):
     """The flagship pipeline (north rule): CDC log → hash-partitioned LWW
     replay with tombstones, schema evolution, 2-phase commits → live table
-    with per-row content sha256."""
+    with per-row content sha256 (driver-oracled via the DuckDB LWW fold over
+    the WAL segment files — see ``oracle_sql()``)."""
     from etl_ray.engine.export import final_state
 
     _, lake = _replay(sf_dir)
     ds = final_state(lake, with_sha=True)
     df = ds.to_pandas()
-    df = df.drop(columns=["content"])  # keep the result light; sha carries it
+    # content itself is carried by the sha; commit_ts is a function of lsn
+    df = df[["repo", "path", "commit", "lang", "size_bytes", "lsn", "content_sha256"]]
     df["size_bytes"] = df["size_bytes"].astype("Int64")
     return df.sort_values(["repo", "path"]).reset_index(drop=True)
 
@@ -209,8 +211,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _cdc_oracle_sql() -> dict[str, str]:
+    """DuckDB oracle SQL for the flagship cdc_* queries: the LWW fold /
+    distinct-LSN aggregates expressed directly over the WAL segment parquet
+    files (the same fold as ``etl_ray/oracle.py``, emitted as SQL strings).
+
+    The WAL path is deterministic per (sf, event count), so the file list can
+    be resolved at ``oracle_sql()`` call time; the WAL is generated here if
+    missing (pure pandas/numpy — no Ray needed) so the SQL is runnable
+    regardless of whether the Ray queries ran first. The driver compares at
+    sf=0.01."""
+    sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    wal = _ensure_wal(sf_dir)
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    wal_src = f"read_parquet([{files}], union_by_name=true)"
+    size_expr = (
+        "CAST(size_bytes AS BIGINT)"
+        if any(s.get("has_size_bytes") for s in wal.segments)
+        else "CAST(NULL AS BIGINT)"
+    )
+    uniq = (
+        "SELECT * FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY lsn ORDER BY lsn) AS _rn FROM {wal_src}) WHERE _rn = 1"
+    )
+    return {
+        "cdc_final_state": f"""
+            SELECT repo, path, "commit", lang, {size_expr} AS size_bytes,
+                   lsn, sha256(content) AS content_sha256
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+                FROM {wal_src}
+            )
+            WHERE rn = 1 AND op <> 'delete'
+            ORDER BY repo, path
+        """,
+        "cdc_lang_daily": f"""
+            WITH uniq AS ({uniq})
+            SELECT strftime(commit_ts, '%Y-%m-%d') AS day, lang,
+                   CAST(COUNT(*) AS BIGINT) AS files_changed,
+                   CAST(COALESCE(SUM(length(content)), 0) AS BIGINT) AS bytes,
+                   CAST(COUNT(DISTINCT repo) AS BIGINT) AS distinct_repos,
+                   CAST(MAX(length(content)) AS DOUBLE) AS max_file_bytes
+            FROM uniq
+            WHERE op <> 'delete'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cdc_repo_daily": f"""
+            WITH uniq AS ({uniq})
+            SELECT strftime(commit_ts, '%Y-%m-%d') AS day, repo,
+                   CAST(COUNT(*) AS BIGINT) AS events,
+                   CAST(COUNT(*) FILTER (op <> 'delete') AS BIGINT) AS upserts,
+                   CAST(COUNT(*) FILTER (op = 'delete') AS BIGINT) AS deletes,
+                   CAST(COUNT(DISTINCT path) AS BIGINT) AS distinct_paths
+            FROM uniq
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "cdc_repo_live_files": f"""
+            SELECT repo, CAST(COUNT(*) AS BIGINT) AS live_files
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+                FROM {wal_src}
+            )
+            WHERE rn = 1 AND op <> 'delete'
+            GROUP BY repo ORDER BY repo
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_cdc_oracle_sql(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

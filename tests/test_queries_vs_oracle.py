@@ -5,11 +5,19 @@ contract the external driver checks at sf0.01."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __ray_entry__ as entrymod
+
+# the cdc_* oracle SQL embeds WAL segment paths resolved per sf — point it at
+# the same sf this test session runs the Ray queries on (driver uses sf0.01)
+os.environ["GRAFT_ORACLE_SF_DIR"] = os.environ.get(
+    "GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
 
 TABLES = [
     "region",
