@@ -83,7 +83,9 @@ def run_bench() -> dict:
         cdc_trials.append(time.perf_counter() - t0)
     cdc_sec = min(cdc_trials)
     timings["cdc_replay"] = round(cdc_sec, 3)
-    em._REPLAY_CACHE[em._sf_tag(SF_DIR)] = (wal, lake)
+    # seed the query-layer replay cache with the composite key _replay() uses,
+    # so any cdc_* query timed below reuses the warmed bench lake
+    em._REPLAY_CACHE[f"{em._sf_tag(SF_DIR)}-{em._wal_events_for(SF_DIR)}"] = (wal, lake)
 
     # --- supporting pipelines ------------------------------------------------
     queries = em.queries()

@@ -52,6 +52,19 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="GC tombstones below the lateness watermark")
     c.add_argument("--lake", required=True)
+    c.add_argument(
+        "--keep-after-lsn",
+        type=int,
+        default=None,
+        help="explicit GC watermark (tombstones with lsn <= this are dropped)",
+    )
+    c.add_argument(
+        "--lateness",
+        type=int,
+        default=None,
+        help="lateness bound subtracted from the applied watermark "
+        "(default 2^20; pass 0 only when the WAL is fully consumed and closed)",
+    )
 
     args = p.parse_args(argv)
 
@@ -111,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             from etl_ray.engine.maintenance import compact_tombstones
 
-            print(json.dumps(compact_tombstones(args.lake)))
+            kw = {"keep_after_lsn": args.keep_after_lsn}
+            if args.lateness is not None:
+                kw["lateness_bound"] = args.lateness
+            print(json.dumps(compact_tombstones(args.lake, **kw)))
         elif args.cmd == "verify":
             import pandas as pd
 

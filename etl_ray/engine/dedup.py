@@ -40,11 +40,15 @@ def last_writer(
     names = t.schema.names
     winners = t.group_by(keys).aggregate([(order, "max")])
     winners = winners.select(keys + [f"{order}_max"]).rename_columns(keys + [order])
+    # _IDX is stamped on the INPUT (before any join) so the exact-order-key
+    # tie-break reflects true input position — Acero join output order is not
+    # guaranteed deterministic, so indexing after the join would make "last
+    # physical row" depend on join internals.
+    t = t.append_column(_IDX, pa.array(np.arange(t.num_rows, dtype=np.int64)))
     cand = t.join(winners, keys=keys + [order], join_type="inner")
     if cand.num_rows > winners.num_rows:
-        # exact-LSN duplicates: keep the last occurrence deterministically
-        cand = cand.append_column(_IDX, pa.array(np.arange(cand.num_rows, dtype=np.int64)))
+        # exact-order-key duplicates: keep the last input occurrence
         w2 = cand.group_by(keys).aggregate([(_IDX, "max")])
         w2 = w2.select(keys + [f"{_IDX}_max"]).rename_columns(keys + [_IDX])
-        cand = cand.join(w2, keys=keys + [_IDX], join_type="inner").drop_columns([_IDX])
+        cand = cand.join(w2, keys=keys + [_IDX], join_type="inner")
     return cand.select(names)

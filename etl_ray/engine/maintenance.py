@@ -152,21 +152,33 @@ def snapshot_derivatives(
     return out
 
 
-def compact_tombstones(lake_dir: str, *, keep_after_lsn: int | None = None) -> dict:
+def compact_tombstones(
+    lake_dir: str,
+    *,
+    keep_after_lsn: int | None = None,
+    lateness_bound: int = ERASE_LSN_GAP,
+) -> dict:
     """Drop tombstones whose delete-LSN is at or below the safe watermark
     (the documented GC policy: a tombstone only needs to outlive the maximum
     possible lateness of the log; below the low watermark no event can
     arrive that it would still need to shadow).
 
-    ``keep_after_lsn`` defaults to the lake's applied-through LSN (i.e. all
-    tombstones are collectable — valid once the WAL source is fully
-    consumed and closed). Rewrites only buckets that actually shrink.
+    The default watermark is ``applied_through_lsn − lateness_bound``: the
+    WAL delivers bounded-out-of-order events across segment boundaries, so a
+    tombstone within the lateness bound of the high watermark may still need
+    to shadow a late lower-LSN update arriving in a later tick — collecting
+    it would resurrect the erased key. Pass ``lateness_bound=0`` (or an
+    explicit ``keep_after_lsn``) only when the WAL source is fully consumed
+    and closed. Rewrites only buckets that actually shrink.
     """
     lineage = LakeLineage(lake_dir)
     last = lineage.last_tick()
     if last is None:
         raise RuntimeError("empty lake")
-    watermark = last["applied_through_lsn"] if keep_after_lsn is None else keep_after_lsn
+    if keep_after_lsn is None:
+        watermark = last["applied_through_lsn"] - lateness_bound
+    else:
+        watermark = keep_after_lsn
     tick_id = last["tick"] + 1
 
     removed = rewritten = 0
@@ -190,14 +202,23 @@ def compact_tombstones(lake_dir: str, *, keep_after_lsn: int | None = None) -> d
         )
         removed += n_dead
         rewritten += 1
+    # explicit tick record: a compaction tick must not inherit the previous
+    # tick's segments/agglog/buckets_touched fields (it would masquerade as a
+    # segment-processing tick in lineage and replay's agg-log completeness scan)
+    manifests = lineage.all_bucket_manifests()
     lineage.publish_tick(
-        dict(
-            last,
-            tick=tick_id,
-            kind="compaction",
-            events=0,
-            state_rows=sum(m["rows"] for m in lineage.all_bucket_manifests()),
-        )
+        {
+            "tick": tick_id,
+            "through_seqno": last["through_seqno"],
+            "applied_through_lsn": last["applied_through_lsn"],
+            "num_buckets": last.get("num_buckets"),
+            "segments": [],
+            "events": 0,
+            "buckets_touched": rewritten,
+            "state_rows": sum(m["rows"] for m in manifests),
+            "live_rows": sum(m["live_rows"] for m in manifests),
+            "kind": "compaction",
+        }
     )
     lineage.gc()
     return {"tombstones_removed": removed, "buckets_rewritten": rewritten, "tick": tick_id}

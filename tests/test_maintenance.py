@@ -68,7 +68,13 @@ def test_compact_tombstones(ray_session, small_wal, tmp_path):
     assert n_dead > 0
     live_before = _live_df(lake)
 
+    # default lateness bound (2^20) exceeds this small log's LSN range: every
+    # tombstone is still within possible-lateness reach, so none is collected
     res = compact_tombstones(lake)
+    assert res["tombstones_removed"] == 0
+
+    # WAL fully consumed and closed → lateness 0 collects them all
+    res = compact_tombstones(lake, lateness_bound=0)
     assert res["tombstones_removed"] == n_dead
 
     after_all = final_state(lake, include_tombstones=True).to_pandas()
