@@ -179,10 +179,25 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Global top-k (§2.6: the engine adds what the reference delegates to
-    SQL ORDER BY). Ray sort is a shuffle; k rows materialize."""
+    SQL ORDER BY) — shuffle-free: per-batch partial top-k (≤k rows per batch
+    leave each task), tiny driver merge. A global ``ds.sort`` would be an
+    all-to-all for k=10."""
     ds = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
-    df = out.to_pandas()
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        )[:k]
+        return t.take(idx)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = parts.to_pandas()  # ≤ k rows per input batch
+    df = (
+        df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
     return round_cols(df, {"o_totalprice": 2})
 
 
@@ -229,58 +244,85 @@ def latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
     ]
 
 
-def orders_asof_last_event(sf_dir: str) -> pd.DataFrame:
-    """As-of join (D6 analog — latest version with ``updated_at <= date``,
+def orders_asof_last_event(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
+    """As-of join (D6/J6 analog — latest version with ``updated_at <= date``,
     ``insert_user_history.sql:71-89``): for each event, the most recent order
     of the same key with o_orderdate <= ts.
 
-    Ray expression: bucket both sides by hash(key) — the same co-partitioning
-    trick as the engine's state join — then ``pd.merge_asof`` per bucket.
-    Orders are deduped to one per (custkey, orderdate) first so the as-of
-    winner is deterministic in both engines.
+    Ray expression: tagged-union bucket shuffle of BOTH sides by hash(key) —
+    the same co-partitioning pattern as ``order_lineitem_join`` — then
+    ``pd.merge_asof`` per bucket. Neither side is materialized on the driver
+    or broadcast whole; both stream through the one groupby shuffle. Orders
+    are deduped to one per (custkey, orderdate) inside the bucket so the
+    as-of winner is deterministic in both engines.
     """
-    events = read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).to_pandas()
-    orders = read_arrow(
-        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]
-    ).to_pandas()
-    orders = (
-        orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-        .drop_duplicates(["o_custkey", "o_orderdate"], keep="last")
+    events = read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1), pa.int32()),
+                "side": pa.array(["e"] * t.num_rows, pa.string()),
+                "key": key,
+                "t": pc.cast(t["ts"], pa.timestamp("us")),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "o_orderkey": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.cast(pc.bit_wise_and(key, n_buckets - 1), pa.int32()),
+                "side": pa.array(["o"] * t.num_rows, pa.string()),
+                "key": key,
+                "t": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                "event_id": pa.nulls(t.num_rows, pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    n_buckets = 8
-    events["__b"] = (events["user_id"] % n_buckets).astype("int32")
-    orders["__b"] = (orders["o_custkey"] % n_buckets).astype("int32")
-    orders_ref = ray.put({b: g.drop(columns="__b") for b, g in orders.groupby("__b")})
-
-    def asof_join(g: pd.DataFrame) -> pd.DataFrame:
-        orders_by_b = ray.get(orders_ref)  # plasma-cached per worker
-        b = int(g["__b"].iloc[0])
-        o = orders_by_b.get(b)
-        g = g.sort_values("ts", kind="mergesort")
-        if o is None or len(o) == 0:
-            g = g.drop(columns="__b").copy()
-            g["o_orderkey"] = pd.array([None] * len(g), dtype="Int64")
-            return g[["event_id", "user_id", "ts", "o_orderkey"]]
-        o = o.sort_values("o_orderdate", kind="mergesort")
-        m = pd.merge_asof(
-            g,
-            o,
-            left_on="ts",
-            right_on="o_orderdate",
-            left_by="user_id",
-            right_by="o_custkey",
-            direction="backward",
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "e"][["key", "t", "event_id"]].sort_values(
+            "t", kind="mergesort"
         )
+        o = g[g["side"] == "o"][["key", "t", "o_orderkey"]]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "t": pd.Series(dtype="datetime64[us]"),
+                    "o_orderkey": pd.Series(dtype="Int64"),
+                }
+            )
+        if len(o) == 0:
+            m = e.copy()
+            m["o_orderkey"] = pd.array([None] * len(m), dtype="Int64")
+        else:
+            # one order per (key, date): max o_orderkey wins (deterministic)
+            o = (
+                o.sort_values(["key", "t", "o_orderkey"])
+                .drop_duplicates(["key", "t"], keep="last")
+                .sort_values("t", kind="mergesort")
+            )
+            m = pd.merge_asof(e, o, on="t", by="key", direction="backward")
         m["o_orderkey"] = m["o_orderkey"].astype("Int64")
-        return m[["event_id", "user_id", "ts", "o_orderkey"]]
+        m = m.rename(columns={"key": "user_id"})
+        return m[["event_id", "user_id", "t", "o_orderkey"]]
 
-    ds = ray.data.from_pandas(events)
-    out = ds.groupby("__b").map_groups(asof_join, batch_format="pandas")
+    out = tagged.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
     df = out.to_pandas()
     from .common import epoch_us
 
-    df["ts_us"] = epoch_us(df["ts"])
+    df["ts_us"] = epoch_us(df["t"])
     return (
         df[["event_id", "user_id", "ts_us", "o_orderkey"]]
         .sort_values("event_id")
@@ -447,8 +489,12 @@ def entity_union_by_name(sf_dir: str) -> pd.DataFrame:
         )
         return align_to(out, target)  # mktsegment backfilled null
 
-    a = read(sf_dir, "customer").map_batches(cust, batch_format="pyarrow")
-    b = read(sf_dir, "supplier").map_batches(supp, batch_format="pyarrow")
+    a = read(
+        sf_dir, "customer", columns=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    ).map_batches(cust, batch_format="pyarrow")
+    b = read(
+        sf_dir, "supplier", columns=["s_name", "s_nationkey", "s_acctbal"]
+    ).map_batches(supp, batch_format="pyarrow")
     return (
         a.union(b)
         .to_pandas()

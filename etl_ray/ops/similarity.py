@@ -20,18 +20,31 @@ import pandas as pd
 import ray
 import ray.data
 
-from .common import read, read_arrow
+from .common import read
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    t = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
-    mask = np.asarray(t["vec_id"]) < n_queries
-    ids = np.asarray(t["vec_id"])[mask]
-    vecs = np.stack(
-        [np.asarray(v, dtype=np.float64) for v, m in zip(t["embedding"].to_pylist(), mask) if m]
+    """The small query side, read with the row filter pushed into the parquet
+    scan (only matching row groups/rows are decoded — not the whole table)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries
     )
+    ids = np.asarray(t["vec_id"])
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
     order = np.argsort(ids)
     return ids[order], vecs[order]
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Vector dimensionality from the first row of the first row group —
+    no whole-column driver read."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    head = pf.read_row_group(0, columns=["embedding"])
+    return len(head["embedding"][0])
 
 
 class _BruteScorer:
@@ -98,7 +111,7 @@ class _LSHCoder:
 def emb_lsh_buckets(sf_dir: str, n_planes: int = 8, seed: int = 5) -> pd.DataFrame:
     """Bucket histogram of the random-hyperplane LSH index (the ANN scale
     path's partitioning stage)."""
-    dim = len(read_arrow(sf_dir, "embeddings", ["embedding"])["embedding"][0])
+    dim = _embedding_dim(sf_dir)
     rng = np.random.RandomState(seed)
     planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -186,42 +199,48 @@ def emb_label_centroid_norm(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("label").reset_index(drop=True)[["label", "n", "avg_norm"]]
 
 
+class _LSHCoderWithVec(_LSHCoder):
+    """LSH code per row, CARRYING the embedding through the shuffle so each
+    bucket group owns its vectors — no whole-dataset driver broadcast (the
+    scale fix: at 100 TB a global vec_id→vector dict cannot exist)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = super().__call__(batch)
+        out["embedding"] = batch["embedding"].to_numpy()
+        return out
+
+
 def emb_cosine_dup_pairs(
     sf_dir: str, *, threshold: float = 0.9, n_planes: int = 8, seed: int = 5
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors
     (random hyperplanes), compare only within buckets (+Hamming-1 probes
     handled by duplicate-tolerant pair set), verify exact cosine ≥
-    threshold. The dedup-by-embedding member of the dedup family."""
-    import ray.data as rd
+    threshold. The dedup-by-embedding member of the dedup family.
 
-    t = read_arrow(sf_dir, "embeddings", ["vec_id", "embedding"])
-    dim = len(t["embedding"][0])
+    The vector column rides the bucket groupby (``_LSHCoderWithVec``), so
+    each group compares only vectors it owns — data volume through the
+    shuffle is one row per vector, never a global broadcast."""
+    dim = _embedding_dim(sf_dir)
     rng = np.random.RandomState(seed)
     planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     codes = ds.map_batches(
-        _LSHCoder,
+        _LSHCoderWithVec,
         fn_constructor_args=(planes_ref,),
         batch_format="pandas",
         batch_size=4096,
         concurrency=(1, 4),
     )
-    vec_ref = ray.put(
-        {
-            int(i): np.asarray(v, dtype=np.float64)
-            for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
-        }
-    )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        vecs = ray.get(vec_ref)
-        ids = np.sort(g["vec_id"].unique())
-        if len(ids) < 2:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
             return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                                  "vec_b": pd.Series(dtype="int64"),
                                  "cos": pd.Series(dtype="float64")})
-        m = np.stack([vecs[int(i)] for i in ids])
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sim = np.round(m @ m.T, 6)
         ia, ib = np.triu_indices(len(ids), k=1)

@@ -145,13 +145,26 @@ def _trigram_counts(text: str, counts: dict) -> None:
 
 def _build_lang_profiles(sf_dir: str, sample_per_lang: int = 50, top: int = 300):
     """Driver-side profile build from a deterministic per-lang sample; the
-    result is the broadcast 'model' (ST6 analog: GeoIP mmdb loaded per actor)."""
-    t = read_arrow(sf_dir, "documents", ["doc_id", "lang", "text"]).to_pandas()
-    t = t.sort_values("doc_id")
+    result is the broadcast 'model' (ST6 analog: GeoIP mmdb loaded per actor).
+
+    Two pruned reads instead of a whole-table driver materialization: the
+    narrow (doc_id, lang) projection picks the sample ids, then only those
+    rows' texts are decoded (row filter pushed into the parquet scan)."""
+    import pyarrow.dataset as pads
+
+    ids_df = read_arrow(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    sample_ids = (
+        ids_df.sort_values("doc_id").groupby("lang").head(sample_per_lang)["doc_id"]
+    )
+    t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "lang", "text"],
+        filter=pads.field("doc_id").isin(sample_ids.to_list()),
+    )
+    df = t.to_pandas().sort_values("doc_id")
     profiles = {}
-    for lang, g in t.groupby("lang"):
+    for lang, g in df.groupby("lang"):
         counts: dict = {}
-        for txt in g["text"].head(sample_per_lang):
+        for txt in g["text"]:
             _trigram_counts(txt, counts)
         grams = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
         total = sum(c for _, c in grams) or 1
