@@ -4,11 +4,12 @@ suite, built on the same patterns as the engine's LWW dedup (hash-partition
 + per-group selection; mergeable per-batch partials).
 
 LSH pipeline shape (guide §"Aggregation at scale"):
-shingle+minhash per batch (vectorized numpy, actor pool holds the seeded
-permutation parameters) → explode to (band, band_hash, doc_id) rows →
-groupby band bucket → candidate pairs → exact-Jaccard verify → union-find
-clusters (driver-side only because the candidate set is provably tiny:
-bucket sizes are bounded and logged, never the corpus).
+shingle+minhash per batch (vectorized numpy) → explode to
+(band, band_hash, doc_id) rows → coarse band-bucket groupby → candidate
+pairs (degenerate buckets salt-capped to O(n·max_bucket) pairs) →
+co-partitioned two-hop verification join against per-doc shingle sets
+(pair dedup inside the doc_a bucket) → exact Jaccard. Nothing corpus-sized
+touches the driver or a broadcast at any stage.
 """
 
 from __future__ import annotations
@@ -94,52 +95,228 @@ class MinHasher:
 
 
 def _band_rows(sig_df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
-    out = []
-    for _, r in sig_df.iterrows():
-        sig = r["sig"]
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            bh = zlib.crc32(chunk.tobytes())
-            out.append((int(r["doc_id"]), b, bh))
-    return pd.DataFrame(out, columns=["doc_id", "band", "band_hash"])
+    """Explode signatures to (doc_id, band, band_hash) rows — fully
+    vectorized: one reshape over the stacked signature matrix + a
+    polynomial band hash (no per-row Python loop)."""
+    n = len(sig_df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "band": pd.Series(dtype="int64"),
+                "band_hash": pd.Series(dtype="int64"),
+            }
+        )
+    sigs = np.stack(sig_df["sig"].to_numpy()).astype(np.uint64)
+    chunks = sigs[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
+    prime = np.uint64(1099511628211)  # FNV prime; wraps mod 2^64
+    h = np.full((n, bands), np.uint64(14695981039346656037))
+    for r in range(rows_per_band):
+        h = (h ^ chunks[:, :, r]) * prime
+    h ^= h >> np.uint64(29)
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(sig_df["doc_id"].to_numpy().astype("int64"), bands),
+            "band": np.tile(np.arange(bands, dtype="int64"), n),
+            "band_hash": h.reshape(-1).view(np.int64),
+        }
+    )
+
+
+_EMPTY_PAIRS = {
+    "doc_a": pd.Series(dtype="int64"),
+    "doc_b": pd.Series(dtype="int64"),
+}
+
+
+def _bucket_ids_pairs(ids: np.ndarray, max_bucket: int, out_a: list, out_b: list) -> None:
+    """Emit all i<j pairs of one LSH bucket into out_a/out_b, salt-capping
+    degenerate buckets: without a cap a near-identical corpus makes one
+    bucket emit O(n²) pairs. Split into ~max_bucket-sized deterministic
+    cells and pair within cells — pair count stays O(n·max_bucket); true
+    near-dups keep bands−1 other chances to collide elsewhere."""
+    if len(ids) <= max_bucket:
+        ia, ib = np.triu_indices(len(ids), k=1)
+        out_a.append(ids[ia])
+        out_b.append(ids[ib])
+        return
+    nsub = int(np.ceil(len(ids) / max_bucket))
+    cell = ((ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(nsub)
+    for s in range(nsub):
+        sub = ids[cell == np.uint64(s)]
+        if len(sub) >= 2:
+            ia, ib = np.triu_indices(len(sub), k=1)
+            out_a.append(sub[ia])
+            out_b.append(sub[ib])
+
+
+def _make_bucket_pairs(max_bucket: int):
+    """Per COARSE group (many complete (band, band_hash) buckets): run-length
+    detect the real buckets vectorized, loop only over multi-occupancy runs.
+    (One map_groups call per real bucket — tens of thousands of mostly
+    singleton groups — is pure per-call overhead.)"""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype("int64")
+        change = np.flatnonzero((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(g)]])
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                run = np.unique(ids[s:e])
+                if len(run) >= 2:
+                    _bucket_ids_pairs(run, max_bucket, out_a, out_b)
+        if not out_a:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    return bucket_pairs
 
 
 def doc_minhash_lsh_pairs(
-    sf_dir: str, *, threshold: float = 0.5, bands: int = 16, rows_per_band: int = 4
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    n_buckets: int = 16,
+    max_bucket: int = 64,
 ) -> pd.DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
-    Candidate generation is fully distributed; verification re-reads only
-    candidate docs' texts (pruned read)."""
+    Fully distributed end-to-end — nothing corpus-sized ever touches the
+    driver or a broadcast:
+
+      signatures (actor pool) → vectorized band explode → band-bucket
+      groupby → candidate pairs (degenerate buckets salt-capped) →
+      co-partitioned two-hop verification join against the per-doc shingle
+      sets (tagged-union bucket shuffle on doc_a, then on doc_b; pair dedup
+      happens inside the doc_a group, where every copy of a pair lands) →
+      exact Jaccard ≥ threshold.
+
+    At real crawl dup rates candidates ≈ the corpus, so the verification
+    side must stream/shuffle — reference shape: the engine's own
+    co-partitioned state join (``etl_ray/engine/replay.py`` spill shuffle).
+    """
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
-    )
-    band_ds = sigs.map_batches(
-        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
+    mh = MinHasher()  # trivial setup: task mode beats actor-pool spin-up
+    sigs = ds.map_batches(lambda df: mh(df), batch_format="pandas", batch_size=1024)
+    coarse = 64  # shuffle granularity: K coarse groups, not one per bucket
+
+    def band_rows_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        out = _band_rows(df, bands, rows_per_band)
+        out["gb"] = (
+            out["band_hash"].to_numpy().view(np.uint64) % np.uint64(coarse)
+        ).astype("int64")
+        return out
+
+    band_ds = sigs.map_batches(band_rows_coarse, batch_format="pandas")
+    pairs = band_ds.groupby("gb").map_groups(
+        _make_bucket_pairs(max_bucket), batch_format="pandas"
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            # typed empty: singleton buckets are the common case and an
-            # untyped empty frame (float64) would poison the id dtype
-            return pd.DataFrame(
-                {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
+    empty_sh = np.array([], dtype=np.int64)
+
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_a": ids[ia].astype("int64"), "doc_b": ids[ib].astype("int64")}
+            {
+                "b": (df["doc_id"].astype("int64") % n_buckets),
+                "side": "s",
+                "key": df["doc_id"].astype("int64"),
+                "other": np.int64(-1),
+                "sh": [_shingles(t).astype(np.int64) for t in df["text"]],
+            }
         )
 
-    pairs = (
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+    shingles_a = ds.map_batches(shingle_rows, batch_format="pandas")
+    shingles_b = ds.map_batches(shingle_rows, batch_format="pandas")
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "b": (df["doc_a"].astype("int64") % n_buckets),
+                "side": "p",
+                "key": df["doc_a"].astype("int64"),
+                "other": df["doc_b"].astype("int64"),
+                "sh": [empty_sh] * len(df),
+            }
+        )
+
+    def hop_a(g: pd.DataFrame) -> pd.DataFrame:
+        """doc_a-bucket: distributed pair dedup (all copies of a pair share
+        doc_a → same group) + attach doc_a's shingles; re-key by doc_b."""
+        p = g[g["side"] == "p"][["key", "other"]].drop_duplicates()
+        if p.empty:
+            return pd.DataFrame(
+                {
+                    "b": pd.Series(dtype="int64"),
+                    "side": pd.Series(dtype=object),
+                    "key": pd.Series(dtype="int64"),
+                    "other": pd.Series(dtype="int64"),
+                    "sh": pd.Series(dtype=object),
+                }
+            )
+        s = g[g["side"] == "s"]
+        sh_map = dict(zip(s["key"].to_numpy(), s["sh"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "b": (p["other"].to_numpy() % n_buckets),
+                "side": "q",
+                "key": p["other"].to_numpy(),  # now keyed by doc_b
+                "other": p["key"].to_numpy(),  # doc_a rides along
+                "sh": [np.asarray(sh_map[k], dtype=np.int64) for k in p["key"]],
+            }
+        )
+
+    def hop_b(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["side"] == "q"]
+        if q.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        s = g[g["side"] == "s"]
+        sh_map = dict(zip(s["key"].to_numpy(), s["sh"].to_numpy()))
+        jac = np.empty(len(q))
+        for i, (k, sa) in enumerate(zip(q["key"].to_numpy(), q["sh"].to_numpy())):
+            sa = np.asarray(sa)
+            sb = np.asarray(sh_map[k])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        out = pd.DataFrame(
+            {
+                "doc_a": q["other"].to_numpy().astype("int64"),
+                "doc_b": q["key"].to_numpy().astype("int64"),
+                "jaccard": np.round(jac, 6),
+            }
+        )
+        return out[out["jaccard"] >= threshold]
+
+    hop_a_out = (
+        pairs.map_batches(tag_pairs, batch_format="pandas")
+        .union(shingles_a)
+        .groupby("b")
+        .map_groups(hop_a, batch_format="pandas")
     )
-    if pairs.empty:
+    verified = (
+        hop_a_out.union(shingles_b)
+        .groupby("b")
+        .map_groups(hop_b, batch_format="pandas")
+    )
+    df = verified.to_pandas()
+    if df.empty:
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(dtype="int64"),
@@ -147,37 +324,10 @@ def doc_minhash_lsh_pairs(
                 "jaccard": pd.Series(dtype="float64"),
             }
         )
-
-    # verify: read only candidate texts (pruned), broadcast, exact jaccard
-    cand_ids = sorted(set(pairs["doc_a"]) | set(pairs["doc_b"]))
-    import pyarrow.dataset as pads
-
-    table = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
-        columns=["doc_id", "text"], filter=pads.field("doc_id").isin(cand_ids)
-    )
-    texts = dict(zip(table["doc_id"].to_pylist(), table["text"].to_pylist()))
-    texts_ref = ray.put({i: _shingles(t) for i, t in texts.items()})
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sh = ray.get(texts_ref)
-        jac = []
-        for a, b in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = sh[int(a)], sh[int(b)]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac.append(inter / union if union else 0.0)
-        df = df.copy()
-        df["jaccard"] = np.round(jac, 6)
-        return df
-
-    verified = (
-        ray.data.from_pandas(pairs.reset_index(drop=True))
-        .map_batches(verify, batch_format="pandas")
-        .to_pandas()
-    )
-    out = verified[verified["jaccard"] >= threshold]
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True).astype(
-        {"doc_a": "int64", "doc_b": "int64"}
+    return (
+        df.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64"})
     )
 
 
@@ -185,9 +335,8 @@ def doc_minhash_signatures(sf_dir: str) -> pd.DataFrame:
     """Per-doc signature digest (deterministic, non-empty even when the
     corpus has no near-dups): min/max of the 64-perm MinHash signature."""
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    sigs = ds.map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4)
-    )
+    mh = MinHasher()  # trivial setup: task mode beats actor-pool spin-up
+    sigs = ds.map_batches(lambda df: mh(df), batch_format="pandas", batch_size=1024)
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
         s = np.stack(df["sig"].to_numpy())
@@ -204,34 +353,61 @@ def doc_minhash_signatures(sf_dir: str) -> pd.DataFrame:
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (stateful: token hash salt)."""
+    """64-bit SimHash over word tokens (stateful: token hash salt; per-batch
+    token-hash memo). Vectorized: token hashes are computed once per UNIQUE
+    token (the vocabulary is far smaller than the token stream), the ±1 bit
+    votes accumulate via one ``np.add.at`` scatter over a (docs, 64) matrix,
+    and the final bit-pack is a single matmul — no per-doc 64-bit loop."""
 
     def __init__(self, seed: int = 11):
         self.seed = seed
+        self._memo: dict[str, int] = {}
+
+    def _token_hashes(self, uniq_tokens: np.ndarray) -> np.ndarray:
+        memo = self._memo
+        seed = self.seed
+        out = np.empty(len(uniq_tokens), dtype=np.uint64)
+        for i, w in enumerate(uniq_tokens):
+            v = memo.get(w)
+            if v is None:
+                v = memo[w] = zlib.crc32(f"{seed}:{w}".encode())
+            out[i] = v
+        return out * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for txt in batch["text"]:
-            words = re.sub(r"\s+", " ", txt.lower()).split(" ")
-            h = np.array(
-                [zlib.crc32(f"{self.seed}:{w}".encode()) for w in words], dtype=np.uint64
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "simhash": pd.Series(dtype="int64")}
             )
-            h = h * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
-            )
-            v = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for i in range(64):
-                if v[i] > 0:
-                    sim |= np.uint64(1) << np.uint64(i)
-            out.append(np.int64(sim.astype(np.int64)))
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": out})
+        toks = (
+            batch["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.split(" ")
+        )
+        lens = toks.map(len).to_numpy()
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        uniq, codes = np.unique(flat.astype("U"), return_inverse=True)
+        hu = self._token_hashes(uniq)  # (n_uniq,) uint64
+        # bit-expand per UNIQUE token (n_uniq × 64), then gather per
+        # occurrence — the bit expansion over the full token stream is the
+        # slow path, the vocabulary is orders of magnitude smaller
+        bu = (
+            (hu[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)
+        pm = 2 * bu - 1  # ±1 votes per unique token
+        votes = np.zeros((len(batch), 64), dtype=np.int64)
+        np.add.at(votes, doc_idx, pm[codes])
+        sim = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "simhash": sim.view(np.int64)}
+        )
 
 
 def doc_simhash(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 4))
+    sh = SimHasher()  # trivial setup: task mode beats actor-pool spin-up
+    out = ds.map_batches(lambda df: sh(df), batch_format="pandas", batch_size=1024)
     df = out.to_pandas()
     df["simhash"] = df["simhash"].astype("int64")
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -241,26 +417,29 @@ def doc_ngram_jaccard_matrix(sf_dir: str, n_queries: int = 5) -> pd.DataFrame:
     """Exact n-gram Jaccard of the first ``n_queries`` docs vs the corpus:
     top-5 most similar per query (brute baseline for the LSH path).
     Query shingle sets are broadcast; corpus streams."""
+    import pyarrow.dataset as pads
+
     qt = (
-        read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(
-            lambda t: t.filter(pc.less(t["doc_id"], n_queries)), batch_format="pyarrow"
-        )
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["doc_id", "text"], filter=pads.field("doc_id") < n_queries)
         .to_pandas()
     )
-    q_ref = ray.put({int(r["doc_id"]): _shingles(r["text"]) for _, r in qt.iterrows()})
+    q_ref = ray.put(
+        {int(i): _shingles(t) for i, t in zip(qt["doc_id"], qt["text"])}
+    )
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qs = ray.get(q_ref)
         rows = []
-        for _, r in df.iterrows():
-            sb = _shingles(r["text"])
+        for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            sb = _shingles(text)
+            did = int(did)
             for qid, sa in qs.items():
-                if qid == int(r["doc_id"]):
+                if qid == did:
                     continue
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
-                rows.append((qid, int(r["doc_id"]), round(inter / union, 6) if union else 0.0))
+                rows.append((qid, did, round(inter / union, 6) if union else 0.0))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "jaccard"])
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])

@@ -55,6 +55,47 @@ def test_minhash_lsh_finds_planted_dups(ray_session, planted_corpus):
     assert (pairs["jaccard"] >= 0.5).all()
 
 
+def test_minhash_lsh_large_dup_corpus(ray_session, tmp_path_factory):
+    """10× the planted corpus at a crawl-like 50% duplicate rate, plus a
+    100-doc identical cluster: the distributed verification join must find
+    the planted pairs WITHOUT any corpus-sized driver materialization, and
+    the degenerate-bucket salt cap must bound the identical cluster's pair
+    explosion (uncapped it would emit O(n²) pairs per band)."""
+    from etl_ray.ops.dedup_text import doc_minhash_lsh_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(300):  # 300 base docs, each with one near-dup
+        base = [vocab[j] for j in rng.randint(0, 500, 60)]
+        docs.append(" ".join(base))
+        mut = list(base)
+        for _ in range(2):
+            mut[rng.randint(0, 60)] = vocab[rng.randint(0, 500)]
+        docs.append(" ".join(mut))
+    clone = " ".join(vocab[j] for j in rng.randint(0, 500, 60))
+    docs += [clone] * 100  # identical cluster → one degenerate LSH bucket
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    d = tmp_path_factory.mktemp("bigdup")
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    pairs = doc_minhash_lsh_pairs(str(d), threshold=0.5, max_bucket=16)
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    planted = {(2 * i, 2 * i + 1) for i in range(300)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"recall {recall} on 50%-dup corpus"
+    assert (pairs["jaccard"] >= 0.5).all()
+    # clone-cluster pairs: all exact (jaccard 1.0), count bounded by the cap
+    clones = pairs[(pairs["doc_a"] >= 600) & (pairs["doc_b"] >= 600)]
+    assert (clones["jaccard"] == 1.0).all()
+    assert len(clones) <= 100 * 16 * 16  # O(n·max_bucket·bands), not O(n²)·bands
+
+
 def test_minhash_jaccard_estimate_close(ray_session, planted_corpus):
     from etl_ray.ops.dedup_text import MinHasher, _shingles
 
