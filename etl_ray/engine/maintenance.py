@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -132,23 +131,33 @@ def snapshot_derivatives(
     if last is None:
         raise RuntimeError("empty lake")
     hi_lsn = last["applied_through_lsn"]
-
-    ds = final_state(lake_dir)
-    df = ds.to_pandas()
     us_day = 86_400_000_000
-    daily = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= daily_days * us_day]
-    monthly = df[(hi_lsn - df["lsn"]) * step_us_per_lsn <= monthly_days * us_day]
 
     os.makedirs(out_dir, exist_ok=True)
     out = {}
-    for name, part in (("daily", daily), ("monthly", monthly)):
-        p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(part.reset_index(drop=True), preserve_index=False),
-            p + ".tmp",
+    for name, window_days in (("daily", daily_days), ("monthly", monthly_days)):
+        # streaming: distributed filter + partitioned parquet write — the
+        # live table never materializes on the driver (it is the full lake)
+        lo_lsn = hi_lsn - (window_days * us_day) // step_us_per_lsn
+        ds = final_state(lake_dir).map_batches(
+            lambda t, lo=lo_lsn: t.filter(pc.greater_equal(t["lsn"], lo)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        os.replace(p + ".tmp", p)
-        out[name] = len(part)
+        d = os.path.join(out_dir, name)
+        tmp = d + ".tmp"
+        import glob as _glob
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+        ds.write_parquet(tmp)
+        # row count from parquet footers (metadata-only read, no data decode)
+        out[name] = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(tmp, "*.parquet"))
+        )
+        os.replace(tmp, d)  # atomic publish of the snapshot directory
     return out
 
 

@@ -51,8 +51,8 @@ def test_snapshot_derivatives(ray_session, small_wal, tmp_path):
     assert 0 < res["daily"] <= res["monthly"]
     import pyarrow.parquet as pq
 
-    daily = pq.read_table(f"{out}/daily.parquet").to_pandas()
-    monthly = pq.read_table(f"{out}/monthly.parquet").to_pandas()
+    daily = pq.read_table(f"{out}/daily").to_pandas()
+    monthly = pq.read_table(f"{out}/monthly").to_pandas()
     assert set(map(tuple, daily[["repo", "path"]].to_numpy())) <= set(
         map(tuple, monthly[["repo", "path"]].to_numpy())
     )
