@@ -1,0 +1,160 @@
+"""Declarative runtime data-quality checks gating the tick commit.
+
+Reference analog — the YAML SQL-assertion framework that is GameTuner/etl's
+main runtime correctness mechanism: ``ExecuteTestOperator`` loads a list of
+``{name, query}`` specs, every query must return ZERO rows, mandatory failures
+abort the DAG run while optional ones only alert
+(``/root/reference/etl/plugins/operators/test.py:39-64``,
+``etl/dags/lib/test_framework.py:35-93``; invariant corpus at
+``etl/dags/user_history/include/tests/**``).
+
+Here a check is ``CheckSpec{name, check(ctx) -> violations, mandatory}``:
+``check`` returns a list of violation records (empty ⇒ pass). Checks run
+inside ``ReplayEngine.tick`` AFTER the appliers produce the tick's bucket
+manifests but BEFORE anything is published — a failed mandatory check raises
+:class:`DataQualityError`, no bucket/tick manifest is written, and the
+previous tick stays authoritative (the tick re-runs idempotently once the
+data/check is fixed, like a failed Airflow DAG run re-running its day).
+Optional-check violations are recorded in the tick manifest.
+
+The default corpus ports the reference's ``user_history/mandatory`` class of
+conservation/monotonicity invariants (``count.yaml:1-67``: no user
+disappears from the snapshot, counters monotone; ``base.yaml`` uniqueness)
+to the CDC lake's terms.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+class DataQualityError(RuntimeError):
+    """A mandatory data-quality check returned violations; the tick aborts
+    before its commit point."""
+
+
+@dataclass
+class TickContext:
+    """What a check may inspect: the tick about to be committed."""
+
+    lineage: object  # LakeLineage
+    tick: int
+    events: int  # rows in the tick's WAL segments (incl. replay dups)
+    segments: list[dict]  # segment lineage records being applied
+    new_manifests: list[dict]  # applier outputs (uncommitted)
+    prev_manifests: dict[int, dict]  # committed bucket → manifest
+    prev_tick: dict | None  # committed tick manifest
+
+
+@dataclass
+class CheckSpec:
+    name: str
+    check: Callable[[TickContext], list[dict]]
+    mandatory: bool = True
+
+
+@dataclass
+class QualityReport:
+    violations: dict[str, list[dict]] = field(default_factory=dict)
+    failed_mandatory: list[str] = field(default_factory=list)
+    failed_optional: list[str] = field(default_factory=list)
+
+    def summary(self) -> dict:
+        return {
+            "checks_failed": self.failed_mandatory + self.failed_optional,
+            "violations": {k: len(v) for k, v in self.violations.items() if v},
+        }
+
+
+def run_checks(specs: list[CheckSpec], ctx: TickContext) -> QualityReport:
+    rep = QualityReport()
+    for spec in specs:
+        rows = list(spec.check(ctx) or [])
+        rep.violations[spec.name] = rows
+        if rows:
+            (rep.failed_mandatory if spec.mandatory else rep.failed_optional).append(
+                spec.name
+            )
+    return rep
+
+
+# ---------------------------------------------------------------------------
+# Default invariant corpus (user_history/mandatory/count.yaml analogs)
+# ---------------------------------------------------------------------------
+
+
+def check_no_key_disappears(ctx: TickContext) -> list[dict]:
+    """LWW merge only adds or overwrites keys (deletes become tombstone
+    rows): a bucket's total row count must never shrink during replay —
+    the 'no user disappears from the snapshot' conservation law
+    (``count.yaml``: registrations ⊆ snapshot)."""
+    out = []
+    for m in ctx.new_manifests:
+        prev = ctx.prev_manifests.get(m["bucket"])
+        if prev is not None and m["rows"] < prev["rows"]:
+            out.append(
+                {
+                    "bucket": m["bucket"],
+                    "prev_rows": prev["rows"],
+                    "new_rows": m["rows"],
+                }
+            )
+    return out
+
+
+def check_watermark_monotone(ctx: TickContext) -> list[dict]:
+    """Per-bucket applied-LSN watermarks never regress (``_total`` counter
+    monotonicity analog)."""
+    out = []
+    for m in ctx.new_manifests:
+        prev = ctx.prev_manifests.get(m["bucket"])
+        if prev is not None and m["applied_lsn"] < prev["applied_lsn"]:
+            out.append(
+                {
+                    "bucket": m["bucket"],
+                    "prev_lsn": prev["applied_lsn"],
+                    "new_lsn": m["applied_lsn"],
+                }
+            )
+    return out
+
+
+def check_deltas_conserved(ctx: TickContext) -> list[dict]:
+    """Applied delta rows cannot exceed the tick's WAL events (per-batch
+    pre-reduction only shrinks) — the 'deduped load count == raw count'
+    conservation analog (``event_deduplication.yaml``)."""
+    applied = sum(m["delta_rows"] for m in ctx.new_manifests)
+    if applied > ctx.events:
+        return [{"applied_delta_rows": applied, "wal_events": ctx.events}]
+    return []
+
+
+def check_unique_live_key(ctx: TickContext) -> list[dict]:
+    """Exactly one row per (repo, path) in every TOUCHED bucket's new state
+    file (``base.yaml`` uniqueness-by-unique_id analog). Reads only the
+    buckets this tick rewrote; the group-count runs per bucket file, never
+    a global shuffle."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for m in ctx.new_manifests:
+        t = pq.read_table(m["data_file"], columns=["repo", "path"])
+        dup = t.num_rows - len(
+            t.group_by(["repo", "path"]).aggregate([([], "count_all")])
+        )
+        if dup:
+            out.append({"bucket": m["bucket"], "duplicate_keys": dup})
+    return out
+
+
+DEFAULT_CHECKS: list[CheckSpec] = [
+    CheckSpec("no_key_disappears", check_no_key_disappears, mandatory=True),
+    CheckSpec("watermark_monotone", check_watermark_monotone, mandatory=True),
+    CheckSpec("deltas_conserved", check_deltas_conserved, mandatory=True),
+    # uniqueness re-reads every touched bucket file — available but optional
+    # by default (enable as mandatory for audit runs)
+    CheckSpec("unique_live_key", check_unique_live_key, mandatory=False),
+]
+
+CHEAP_CHECKS: list[CheckSpec] = DEFAULT_CHECKS[:3]

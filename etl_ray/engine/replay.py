@@ -70,7 +70,11 @@ class ReplayEngine:
         shuffle: str = "spill",  # "spill" (shared-FS) | "hash" | "sort"
         warm_state: bool = True,  # persistent applier actors across ticks
         fail_after_buckets: int | None = None,  # crash injection for tests
+        checks: list | None = None,  # quality.CheckSpec list; None = defaults
     ):
+        from .quality import DEFAULT_CHECKS
+
+        self.checks = DEFAULT_CHECKS if checks is None else checks
         self.shuffle = shuffle
         self.wal = WalInfo.load(wal_dir)
         self.lake_dir = lake_dir
@@ -340,8 +344,34 @@ class ReplayEngine:
         finally:
             dctx.shuffle_strategy = prev_strategy
 
-        # ---- two-phase commit: publish bucket manifests, then the tick ----
+        # ---- data-quality gate: runs BEFORE anything is published, so a
+        # failing mandatory check leaves the previous tick fully
+        # authoritative (test.py:39-64 / test_framework.py semantics) ----
         events = sum(s["rows"] for s in segs)
+        quality_summary = None
+        if self.checks:
+            from .quality import DataQualityError, TickContext, run_checks
+
+            ctx = TickContext(
+                lineage=self.lineage,
+                tick=tick_id,
+                events=events,
+                segments=segs,
+                new_manifests=[dict(m) for m in manifests],
+                prev_manifests={
+                    m["bucket"]: m for m in self.lineage.all_bucket_manifests()
+                },
+                prev_tick=last,
+            )
+            qrep = run_checks(self.checks, ctx)
+            if qrep.failed_mandatory:
+                raise DataQualityError(
+                    f"tick {tick_id} aborted before commit; mandatory "
+                    f"data-quality checks failed: {qrep.summary()}"
+                )
+            quality_summary = qrep.summary()
+
+        # ---- two-phase commit: publish bucket manifests, then the tick ----
         state_rows = live_rows = 0
         for i, m in enumerate(manifests):
             if self.fail_after_buckets is not None and i >= self.fail_after_buckets:
@@ -382,6 +412,7 @@ class ReplayEngine:
                 "live_rows": live_rows,
                 "num_buckets": self.num_buckets,
                 "agglog": agglog_this_tick,
+                "quality": quality_summary,
             }
         )
         self.lineage.gc()
