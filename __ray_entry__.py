@@ -138,6 +138,33 @@ def cdc_repo_live_files(sf_dir: str):
     return out.to_pandas().sort_values("repo").reset_index(drop=True)
 
 
+def cdc_fold_state(sf_dir: str):
+    """Per-key state-fold metrics (the reference's user_history_formula
+    surface, ``user_history_parser.py:129-167``): replay with DEFAULT_FOLDS
+    into a dedicated lake — one tick, so the fold order is exact global LSN
+    order and the result matches the DuckDB window fold in ``oracle_sql``."""
+    from etl_ray.engine import ReplayEngine
+    from etl_ray.engine.export import final_state
+    from etl_ray.engine.folds import DEFAULT_FOLDS
+
+    tag = f"fold-{_sf_tag(sf_dir)}-{_wal_events_for(sf_dir)}"
+    if tag not in _REPLAY_CACHE:
+        wal = _ensure_wal(sf_dir)
+        lake = os.path.join(_SCRATCH, f"lake-{tag}")
+        shutil.rmtree(lake, ignore_errors=True)
+        eng = ReplayEngine(
+            wal.wal_dir, lake, num_buckets=32, concurrency=4,
+            folds=DEFAULT_FOLDS, aggregate=False,
+        )
+        eng.replay_all()
+        _REPLAY_CACHE[tag] = (wal, lake)
+    _, lake = _REPLAY_CACHE[tag]
+    df = final_state(lake).to_pandas()
+    cols = ["repo", "path", "change_count", "days_active", "last_day", "reactivations"]
+    df = df[cols].astype({c: "int64" for c in cols[2:]})
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return cdc_final_state("/root/testdata/sf0.001")
@@ -158,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lang_daily": cdc_lang_daily,
         "cdc_repo_daily": cdc_repo_daily,
         "cdc_repo_live_files": cdc_repo_live_files,
+        "cdc_fold_state": cdc_fold_state,
         # relational ops
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_region": rel.revenue_by_region,
@@ -276,6 +304,23 @@ def _cdc_oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1 AND op <> 'delete'
             GROUP BY repo ORDER BY repo
+        """,
+        "cdc_fold_state": f"""
+            WITH uniq AS ({uniq}),
+            e AS (SELECT repo, path, lsn,
+                         epoch_us(commit_ts) // 86400000000 AS day_num,
+                         (op = 'delete') AS del FROM uniq),
+            w AS (SELECT *, lag(day_num) OVER (
+                      PARTITION BY repo, path ORDER BY lsn) AS lag_day FROM e)
+            SELECT repo, path,
+              CAST(COUNT(*) AS BIGINT) AS change_count,
+              CAST(COUNT(DISTINCT day_num) AS BIGINT) AS days_active,
+              CAST(MAX(day_num) AS BIGINT) AS last_day,
+              CAST(COALESCE(SUM(CASE WHEN day_num - lag_day > 7
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS reactivations
+            FROM w GROUP BY repo, path
+            HAVING first(del ORDER BY lsn DESC) = false
+            ORDER BY repo, path
         """,
     }
 

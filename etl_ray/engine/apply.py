@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -49,8 +50,109 @@ MANIFEST_SCHEMA = pa.schema(
         ("live_rows", pa.int64()),
         ("delta_rows", pa.int64()),
         ("data_file", pa.string()),
+        ("fold_file", pa.string()),  # LSN-tail sidecar when folds are active
     ]
 )
+
+
+def fold_tail_path(state_path: str) -> str:
+    return state_path[: -len(".parquet")] + ".fold.parquet"
+
+
+def apply_folds(
+    folds: list,
+    prev_state: pa.Table | None,
+    merged: pa.Table,
+    fold_rows: pa.Table,
+    prev_tail: pa.Table | None,
+    new_hi: int,
+    lateness: int,
+) -> tuple[pa.Table, pa.Table]:
+    """Fold the tick's narrow delta events into per-key metric columns on
+    the merged state (see ``folds.FoldSpec``). Exact-once folding: replay
+    duplicates dedupe by LSN within the tick, and across ticks via the
+    bucket's persisted tail of recently-folded LSNs (every folded LSN
+    above ``new_hi − lateness``) — a dup re-emit is always within the
+    lateness bound of its original, so an incoming LSN either hits the
+    tail (already folded) or is genuinely new.
+
+    Returns (merged with fold columns, new tail table)."""
+    import pandas as pd
+
+    from .folds import KEY
+
+    raw = fold_rows.to_pandas()
+    fr = raw.drop_duplicates("lsn")
+    if prev_tail is not None and prev_tail.num_rows:
+        tail_set = prev_tail["lsn"].to_numpy()
+        fr = fr[~fr["lsn"].isin(tail_set)]
+    fr = fr.sort_values("lsn", kind="mergesort").reset_index(drop=True)
+
+    all_cols = [(c, t) for f in folds for c, t in f.state_cols]
+    col_names = [c for c, _ in all_cols]
+
+    touched = pd.MultiIndex.from_frame(fr[KEY].drop_duplicates())
+    # keys whose ONLY delta rows were tail-dropped duplicates still had a
+    # delta applied on the data path (an LWW no-op whose winner row carries
+    # null fold columns) — they must be restored from prev state below
+    touched_all = pd.MultiIndex.from_frame(raw[KEY].drop_duplicates())
+    if prev_state is not None and all(
+        c in prev_state.schema.names for c in col_names
+    ):
+        prev_all = (
+            prev_state.select(KEY + col_names).to_pandas().set_index(KEY)
+        )
+    else:
+        prev_all = pd.DataFrame(columns=col_names)
+        prev_all.index = pd.MultiIndex.from_arrays([[], []], names=KEY)
+    prev_touched = prev_all.reindex(touched)
+
+    new_frames = []
+    if len(fr):
+        for spec in folds:
+            new_frames.append(spec.fold(prev_touched[spec.col_names], fr))
+    new_vals = (
+        pd.concat(new_frames, axis=1)
+        if new_frames
+        else pd.DataFrame(columns=col_names)
+    )
+    new_vals = new_vals.reindex(touched_all)
+    prev_for_all = prev_all.reindex(touched_all)
+    new_vals = new_vals.where(new_vals.notna(), prev_for_all)
+
+    # attach: touched keys get the new values, untouched keep their state
+    # values (already riding the winner rows); new keys with no fold rows
+    # cannot exist (every delta row has a fold row)
+    mkeys = pd.MultiIndex.from_arrays(
+        [merged[k].to_pandas() for k in KEY], names=KEY
+    )
+    for cname, ctype in all_cols:
+        upd = new_vals[cname].reindex(mkeys) if len(new_vals) else pd.Series(
+            np.nan, index=mkeys
+        )
+        if cname in merged.schema.names:
+            cur = merged[cname].to_pandas()
+            cur.index = upd.index
+            out = upd.where(upd.notna(), cur)
+            merged = merged.set_column(
+                merged.schema.get_field_index(cname),
+                cname,
+                pa.Array.from_pandas(out, type=ctype),
+            )
+        else:
+            merged = merged.append_column(
+                cname, pa.Array.from_pandas(upd, type=ctype)
+            )
+
+    # new tail: every folded LSN still within the lateness window
+    lo = new_hi - lateness
+    lsns = fr["lsn"].to_numpy()
+    keep = lsns[lsns > lo]
+    if prev_tail is not None and prev_tail.num_rows:
+        old = prev_tail["lsn"].to_numpy()
+        keep = np.concatenate([keep, old[old > lo]])
+    tail = pa.table({"lsn": pa.array(np.unique(keep), pa.int64())})
+    return merged, tail
 
 
 def deltas_to_state_shape(deltas: pa.Table) -> pa.Table:
@@ -61,33 +163,55 @@ def deltas_to_state_shape(deltas: pa.Table) -> pa.Table:
 
 
 class MergeApplier:
-    def __init__(self, lake_dir: str, tick: int, schema_ser: bytes):
+    def __init__(
+        self,
+        lake_dir: str,
+        tick: int,
+        schema_ser: bytes,
+        folds: list | None = None,
+        fold_lateness: int = 0,
+    ):
         # once per actor: lineage handles + deserialized target schema
         self.lineage = LakeLineage(lake_dir)
         self.tick = tick
         self.target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+        self.folds = folds or []
+        self.fold_lateness = fold_lateness
 
-    def apply_spilled(self, batch: pa.Table) -> pa.Table:
-        """Spill-shuffle mode: input rows are (bucket, files, rgs)
-        descriptors; each bucket's pre-reduced deltas are read as parquet
-        ROW GROUPS out of the shared shuffle files (content bytes never
-        enter the object store). File handles are cached on the actor."""
+    def _read_rgs(self, files, rgs) -> pa.Table | None:
         if not hasattr(self, "_pf_cache"):
             self._pf_cache: dict[str, pq.ParquetFile] = {}
+        parts = []
+        for f, rg in zip(files, rgs):
+            pf = self._pf_cache.get(f)
+            if pf is None:
+                pf = self._pf_cache[f] = pq.ParquetFile(f)
+            parts.append(pf.read_row_group(rg))
+        return pa.concat_tables(parts) if parts else None
+
+    def apply_spilled(self, batch: pa.Table) -> pa.Table:
+        """Spill-shuffle mode: input rows are (bucket, files, rgs[, ffiles,
+        frgs]) descriptors; each bucket's pre-reduced deltas (and, when
+        folds are active, its unreduced narrow fold rows) are read as
+        parquet ROW GROUPS out of the shared shuffle files (content bytes
+        never enter the object store). File handles are cached on the
+        actor."""
         outs = [MANIFEST_SCHEMA.empty_table()]
-        for bucket, files, rgs in zip(
-            batch["bucket"].to_pylist(),
-            batch["files"].to_pylist(),
-            batch["rgs"].to_pylist(),
-        ):
-            parts = []
-            for f, rg in zip(files, rgs):
-                pf = self._pf_cache.get(f)
-                if pf is None:
-                    pf = self._pf_cache[f] = pq.ParquetFile(f)
-                parts.append(align_to(pf.read_row_group(rg), self.target))
+        has_folds = "ffiles" in batch.schema.names and self.folds
+        for i, bucket in enumerate(batch["bucket"].to_pylist()):
+            files = batch["files"][i].as_py()
+            rgs = batch["rgs"][i].as_py()
+            deltas = self._read_rgs(files, rgs)
+            deltas = align_to(deltas, self.target)
+            fold_rows = None
+            if has_folds:
+                fold_rows = self._read_rgs(
+                    batch["ffiles"][i].as_py(), batch["frgs"][i].as_py()
+                )
             outs.append(
-                self._apply_one(int(bucket), pa.concat_tables(parts), pre_aligned=True)
+                self._apply_one(
+                    int(bucket), deltas, pre_aligned=True, fold_rows=fold_rows
+                )
             )
         return pa.concat_tables(outs)
 
@@ -106,27 +230,49 @@ class MergeApplier:
             outs.append(self._apply_one(b, part))
         return pa.concat_tables(outs)
 
-    def _apply_one(self, bucket: int, group: pa.Table, pre_aligned: bool = False) -> pa.Table:
+    def _apply_one(
+        self,
+        bucket: int,
+        group: pa.Table,
+        pre_aligned: bool = False,
+        fold_rows: pa.Table | None = None,
+    ) -> pa.Table:
         if pre_aligned:
             deltas = group
         else:
             deltas = align_to(group.drop_columns([BUCKET_COL]), self.target)
 
         man = self.lineage.bucket_manifest(bucket)
+        state = None
         if man is not None:
             state = pq.read_table(man["data_file"])
             merged_schema = unify_schemas([state.schema, deltas.schema])
-            state = align_to(state, merged_schema)
+            state_al = align_to(state, merged_schema)
             deltas = align_to(deltas, merged_schema)
             # state first, deltas after → exact-LSN replay ties resolve to the
             # (identical) delta row; deterministic either way.
-            merged = pa.concat_tables([state, deltas])
+            merged = pa.concat_tables([state_al, deltas])
         else:
             merged = deltas
         merged = last_writer(merged, keys=KEYS)
         merged = merged.sort_by([(k, "ascending") for k in KEYS])
 
         out_path = self.lineage.bucket_state_path(bucket, self.tick)
+        fold_file = None
+        if self.folds and fold_rows is not None:
+            prev_tail = None
+            if man is not None and man.get("fold_file"):
+                prev_tail = pq.read_table(man["fold_file"])
+            new_hi = pc.max(merged["lsn"]).as_py()
+            merged, tail = apply_folds(
+                self.folds, state, merged, fold_rows, prev_tail,
+                new_hi, self.fold_lateness,
+            )
+            fold_file = fold_tail_path(out_path)
+            ftmp = fold_file + f".{os.getpid()}.tmp"
+            pq.write_table(tail, ftmp, compression="snappy")
+            os.replace(ftmp, fold_file)
+
         tmp = out_path + f".{os.getpid()}.tmp"
         pq.write_table(merged, tmp, compression="zstd")
         os.replace(tmp, out_path)
@@ -141,6 +287,7 @@ class MergeApplier:
                 "live_rows": pa.array([live], pa.int64()),
                 "delta_rows": pa.array([group.num_rows], pa.int64()),
                 "data_file": pa.array([out_path], pa.string()),
+                "fold_file": pa.array([fold_file], pa.string()),
             }
         )
 
@@ -173,27 +320,42 @@ class WarmApplierActor:
     per-tick parquet read+decode of unchanged state.
     """
 
-    def __init__(self, lake_dir: str, max_cached: int = 256):
+    def __init__(
+        self,
+        lake_dir: str,
+        max_cached: int = 256,
+        folds: list | None = None,
+        fold_lateness: int = 0,
+    ):
         self.lineage = LakeLineage(lake_dir)
         # bucket → (data_file the cache corresponds to, state table)
         self.cache: dict[int, tuple[str, pa.Table]] = {}
         self.max_cached = max_cached
         self._pf_cache: dict[str, pq.ParquetFile] = {}
         self._pf_tick = -1
+        self.folds = folds or []
+        self.fold_lateness = fold_lateness
 
-    def apply(self, bucket: int, files: list[str], rgs: list[int], tick: int,
-              schema_ser: bytes) -> dict:
-        target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
-        if tick != self._pf_tick:  # shuffle files are per tick
-            self._pf_cache = {}
-            self._pf_tick = tick
+    def _read_rgs(self, files, rgs) -> pa.Table | None:
         parts = []
         for f, rg in zip(files, rgs):
             pf = self._pf_cache.get(f)
             if pf is None:
                 pf = self._pf_cache[f] = pq.ParquetFile(f)
-            parts.append(align_to(pf.read_row_group(rg), target))
-        deltas = pa.concat_tables(parts)
+            parts.append(pf.read_row_group(rg))
+        return pa.concat_tables(parts) if parts else None
+
+    def apply(self, bucket: int, files: list[str], rgs: list[int], tick: int,
+              schema_ser: bytes, ffiles: list[str] | None = None,
+              frgs: list[int] | None = None) -> dict:
+        target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
+        if tick != self._pf_tick:  # shuffle files are per tick
+            self._pf_cache = {}
+            self._pf_tick = tick
+        deltas = align_to(self._read_rgs(files, rgs), target)
+        fold_rows = None
+        if self.folds and ffiles:
+            fold_rows = self._read_rgs(ffiles, frgs)
 
         # validate the cache against the COMMITTED manifest: out-of-band
         # maintenance (erase_keys, compact_tombstones) or another writer
@@ -217,6 +379,21 @@ class WarmApplierActor:
         merged = merged.sort_by([(k, "ascending") for k in KEYS])
 
         out_path = self.lineage.bucket_state_path(bucket, tick)
+        fold_file = None
+        if self.folds and fold_rows is not None:
+            prev_tail = None
+            if man is not None and man.get("fold_file"):
+                prev_tail = pq.read_table(man["fold_file"])
+            new_hi = pc.max(merged["lsn"]).as_py()
+            merged, tail = apply_folds(
+                self.folds, state, merged, fold_rows, prev_tail,
+                new_hi, self.fold_lateness,
+            )
+            fold_file = fold_tail_path(out_path)
+            ftmp = fold_file + f".{os.getpid()}.tmp"
+            pq.write_table(tail, ftmp, compression="snappy")
+            os.replace(ftmp, fold_file)
+
         tmp = out_path + f".{os.getpid()}.tmp"
         pq.write_table(merged, tmp, compression="zstd")
         os.replace(tmp, out_path)
@@ -234,4 +411,5 @@ class WarmApplierActor:
             "live_rows": int(live),
             "delta_rows": int(deltas.num_rows),
             "data_file": out_path,
+            "fold_file": fold_file,
         }

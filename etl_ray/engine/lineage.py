@@ -116,7 +116,11 @@ class LakeLineage:
         """Delete bucket state files not referenced by the current manifests.
         Returns number of files removed. Only called at tick start, so any
         in-flight staging files belong to a tick that will re-run anyway."""
-        live = {m["data_file"] for m in self.all_bucket_manifests()}
+        live = set()
+        for m in self.all_bucket_manifests():
+            live.add(m["data_file"])
+            if m.get("fold_file"):
+                live.add(m["fold_file"])  # fold LSN-tail sidecar
         removed = 0
         for p in glob.glob(os.path.join(self.buckets_dir, "b=*", "state-t*.parquet")):
             if p not in live:

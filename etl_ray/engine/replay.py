@@ -71,10 +71,17 @@ class ReplayEngine:
         warm_state: bool = True,  # persistent applier actors across ticks
         fail_after_buckets: int | None = None,  # crash injection for tests
         checks: list | None = None,  # quality.CheckSpec list; None = defaults
+        folds: list | None = None,  # folds.FoldSpec list; default: none
     ):
         from .quality import DEFAULT_CHECKS
 
         self.checks = DEFAULT_CHECKS if checks is None else checks
+        self.folds = folds or []
+        if self.folds and shuffle != "spill":
+            raise ValueError(
+                "state-fold metrics need the unreduced fold-row stream of "
+                "the spill shuffle (sort/hash paths pre-reduce in place)"
+            )
         self.shuffle = shuffle
         self.wal = WalInfo.load(wal_dir)
         self.lake_dir = lake_dir
@@ -85,6 +92,10 @@ class ReplayEngine:
         self.warm_state = warm_state and shuffle == "spill"
         self._warm_actors: list | None = None
         self.fail_after_buckets = fail_after_buckets
+        # exact-once fold dedup window: the log's declared out-of-order
+        # bound (duplicates re-emit within it), with margin
+        p = self.wal.params or {}
+        self.fold_lateness = 2 * int(p.get("ooo_window", 1 << 14)) + 16
 
     def _warm_pool(self):
         """Lazily created persistent applier actors (see WarmApplierActor).
@@ -98,7 +109,9 @@ class ReplayEngine:
             _, hi = self._applier_pool_size()
             k = max(1, min(hi, self.num_buckets))
             self._warm_actors = [
-                WarmApplierActor.options(num_cpus=0).remote(self.lake_dir)
+                WarmApplierActor.options(num_cpus=0).remote(
+                    self.lake_dir, 256, self.folds, self.fold_lateness
+                )
                 for _ in range(k)
             ]
         return self._warm_actors
@@ -152,6 +165,28 @@ class ReplayEngine:
         # self would drag along warm-actor handles and the WAL manifest
         do_aggregate = self.aggregate
         lineage = self.lineage
+        folds_active = bool(self.folds)
+
+        def _write_bucket_rgs(data: pa.Table, codes, path: str):
+            """One parquet file, one row group per bucket run (input sorted
+            by bucket). Returns (buckets, rgs, rows)."""
+            import numpy as np
+
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [len(codes)]])
+            buckets_out, rgs_out, rows_out = [], [], []
+            writer = pq.ParquetWriter(path + ".tmp", data.schema, compression="snappy")
+            try:
+                for rg, (s, e) in enumerate(zip(starts, ends)):
+                    writer.write_table(data.slice(s, e - s))
+                    buckets_out.append(int(codes[s]))
+                    rgs_out.append(rg)
+                    rows_out.append(int(e - s))
+            finally:
+                writer.close()
+            os.replace(path + ".tmp", path)
+            return buckets_out, rgs_out, rows_out
 
         def spill(batch: pa.Table) -> pa.Table:
             """Fused stage-1 task: enrich → (a) append the narrow per-day
@@ -171,6 +206,8 @@ class ReplayEngine:
                         "file": pa.array([], pa.string()),
                         "rg": pa.array([], pa.int32()),
                         "rows": pa.array([], pa.int64()),
+                        "ffile": pa.array([], pa.string()),
+                        "frg": pa.array([], pa.int32()),
                     }
                 )
             batch = enrich(batch)
@@ -185,32 +222,45 @@ class ReplayEngine:
                     fp = os.path.join(ddir, f"t{tick_id:06d}-{uuid.uuid4().hex}.parquet")
                     pq.write_table(part, fp + ".tmp", compression="snappy")
                     os.replace(fp + ".tmp", fp)
+            fold_lookup: dict[int, int] = {}
+            ffile = ""
+            if folds_active:
+                # second stream: the UNREDUCED narrow fold projection (the
+                # data stream below is pre-reduced to per-key winners, but
+                # folds need every distinct event) — same bucket layout,
+                # own file, ~2% of the content bytes
+                from .folds import fold_delta_projection
+
+                fp = with_bucket(fold_delta_projection(batch), nb)
+                forder = pc.sort_indices(fp, sort_keys=[(BUCKET_COL, "ascending")])
+                fp = fp.take(forder)
+                fcodes = fp[BUCKET_COL].to_numpy()
+                fdata = fp.drop_columns([BUCKET_COL])
+                ffile = os.path.join(spill_dir, f"fold-{uuid.uuid4().hex}.parquet")
+                fbuckets, frgs_list, _ = _write_bucket_rgs(fdata, fcodes, ffile)
+                fold_lookup = dict(zip(fbuckets, frgs_list))
+
             batch = with_bucket(deltas_to_state_shape(last_writer(batch)), nb)
             order = pc.sort_indices(batch, sort_keys=[(BUCKET_COL, "ascending")])
             batch = batch.take(order)
             codes = batch[BUCKET_COL].to_numpy()
             data = batch.drop_columns([BUCKET_COL])
-            bounds = np.flatnonzero(np.diff(codes)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [len(codes)]])
             f = os.path.join(spill_dir, f"part-{uuid.uuid4().hex}.parquet")
-            buckets_out, rgs_out, rows_out = [], [], []
-            writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="snappy")  # transient shuffle data: cheap codec
-            try:
-                for rg, (s, e) in enumerate(zip(starts, ends)):
-                    writer.write_table(data.slice(s, e - s))
-                    buckets_out.append(int(codes[s]))
-                    rgs_out.append(rg)
-                    rows_out.append(int(e - s))
-            finally:
-                writer.close()
-            os.replace(f + ".tmp", f)
+            # transient shuffle data: cheap codec (snappy)
+            buckets_out, rgs_out, rows_out = _write_bucket_rgs(data, codes, f)
             return pa.table(
                 {
                     "bucket": pa.array(buckets_out, pa.int32()),
                     "file": pa.array([f] * len(buckets_out), pa.string()),
                     "rg": pa.array(rgs_out, pa.int32()),
                     "rows": pa.array(rows_out, pa.int64()),
+                    "ffile": pa.array(
+                        [ffile if b in fold_lookup else "" for b in buckets_out],
+                        pa.string(),
+                    ),
+                    "frg": pa.array(
+                        [fold_lookup.get(b, -1) for b in buckets_out], pa.int32()
+                    ),
                 }
             )
 
@@ -223,13 +273,18 @@ class ReplayEngine:
         if os.environ.get("ETL_RAY_DEBUG"):
             print(f"[etl-ray] stage1 spill: {time.perf_counter() - t_sp:.2f}s", flush=True)
 
-        by_bucket: dict[int, tuple[list[str], list[int]]] = {}
+        by_bucket: dict[int, tuple[list[str], list[int], list[str], list[int]]] = {}
         for r in shards:
-            files, rgs = by_bucket.setdefault(int(r["bucket"]), ([], []))
+            files, rgs, ffiles, frgs = by_bucket.setdefault(
+                int(r["bucket"]), ([], [], [], [])
+            )
             files.append(r["file"])
             rgs.append(int(r["rg"]))
+            if r.get("ffile"):
+                ffiles.append(r["ffile"])
+                frgs.append(int(r["frg"]))
         items = [
-            {"bucket": b, "files": fr[0], "rgs": fr[1]}
+            {"bucket": b, "files": fr[0], "rgs": fr[1], "ffiles": fr[2], "frgs": fr[3]}
             for b, fr in sorted(by_bucket.items())
         ]
         if not items:
@@ -240,7 +295,8 @@ class ReplayEngine:
             pool = self._warm_pool()
             futures = [
                 pool[it["bucket"] % len(pool)].apply.remote(
-                    it["bucket"], it["files"], it["rgs"], tick_id, schema_ser
+                    it["bucket"], it["files"], it["rgs"], tick_id, schema_ser,
+                    it["ffiles"], it["frgs"],
                 )
                 for it in items
             ]
@@ -249,7 +305,9 @@ class ReplayEngine:
         apply_ds = ray.data.from_items(items, override_num_blocks=len(items))
         return apply_ds.map_batches(
             SpilledMergeApplier,
-            fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
+            fn_constructor_args=(
+                self.lake_dir, tick_id, schema_ser, self.folds, self.fold_lateness
+            ),
             batch_format="pyarrow",
             batch_size=None,
             concurrency=(lo, min(hi, max(1, len(items)))),
