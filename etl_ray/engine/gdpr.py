@@ -1,0 +1,162 @@
+"""GDPR pseudonym mapping side table.
+
+Reference analog: the reference does not just hash PII — it MERGE-maintains
+a reversible mapping table ``(unique_id, field_name, field_original_value,
+field_modified_value, inserted_at, updated_at)`` per app
+(``mod_load_data_gdpr.sql:27-36``: WHEN NOT MATCHED INSERT / WHEN MATCHED
+UPDATE updated_at; table DDL ``:17-25``), and the delete-request flow
+removes a subject's mapping rows transactionally
+(``gdpr_delete_request.sql:62-68``). Its completeness invariant — every PII
+value has exactly one mapping row — is a mandatory YAML test
+(``tests/event_transformations/mandatory/gdpr.yaml``).
+
+Here the map is a hash-bucketed parquet side table under ``lake/_gdpr/``:
+
+    _gdpr/b=NN.parquet   rows: (field, original, pseudonym,
+                                first_lsn, last_lsn)
+
+- ``pseudonym`` = hex sha256 of the original (same kernel as the export
+  pseudonymizer, ``engine/export.py``), making the one-way hash reversible
+  for authorized lookups until erasure removes the row;
+- per tick, the WAL segments' distinct (field, original) pairs are
+  pre-reduced per batch (one row per value per batch through the driver),
+  then MERGEd per touched bucket only: new values INSERT, seen values
+  extend ``last_lsn`` (the MERGE-matched update);
+- the full map is never loaded at once — bucket files bound both merge
+  working-set and erasure IO at scale.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+NUM_MAP_BUCKETS = 16
+
+MAP_SCHEMA = pa.schema(
+    [
+        ("field", pa.string()),
+        ("original", pa.string()),
+        ("pseudonym", pa.string()),
+        ("first_lsn", pa.int64()),
+        ("last_lsn", pa.int64()),
+    ]
+)
+
+
+def map_dir(lake_dir: str) -> str:
+    d = os.path.join(lake_dir, "_gdpr")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _bucket_path(lake_dir: str, b: int) -> str:
+    return os.path.join(map_dir(lake_dir), f"b={b:02d}.parquet")
+
+
+def _bucket_of(originals: pd.Series) -> np.ndarray:
+    h = pd.util.hash_pandas_object(originals, index=False).to_numpy()
+    return (h % np.uint64(NUM_MAP_BUCKETS)).astype(np.int64)
+
+
+def read_map(lake_dir: str) -> pa.Table:
+    files = sorted(glob.glob(os.path.join(map_dir(lake_dir), "b=*.parquet")))
+    if not files:
+        return MAP_SCHEMA.empty_table()
+    return pa.concat_tables(pq.read_table(f) for f in files)
+
+
+def update_map_from_segments(
+    lake_dir: str, segs: list[dict], target: pa.Schema, fields: list[str]
+) -> dict:
+    """Distill the tick's distinct (field, original) pairs (pruned read +
+    per-batch pre-reduction — one row per distinct value per batch reaches
+    the driver) and MERGE them into the touched map buckets."""
+    from .source import read_segments
+
+    cols = ["lsn", *fields]
+    ds = read_segments(segs, target, columns=cols)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        frames = []
+        lsn = t["lsn"].to_pandas()
+        for f in fields:
+            df = pd.DataFrame({"original": t[f].to_pandas(), "lsn": lsn}).dropna()
+            g = df.groupby("original", as_index=False).agg(
+                first_lsn=("lsn", "min"), last_lsn=("lsn", "max")
+            )
+            g.insert(0, "field", f)
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {"new": 0, "updated": 0}
+    agg = parts.groupby(["field", "original"], as_index=False).agg(
+        first_lsn=("first_lsn", "min"), last_lsn=("last_lsn", "max")
+    )
+    agg["_b"] = _bucket_of(agg["original"])
+
+    new = updated = 0
+    for b, g in agg.groupby("_b"):
+        path = _bucket_path(lake_dir, int(b))
+        if os.path.exists(path):
+            cur = pq.read_table(path).to_pandas()
+        else:
+            cur = MAP_SCHEMA.empty_table().to_pandas()
+        merged = cur.merge(
+            g.drop(columns="_b"), on=["field", "original"], how="outer",
+            suffixes=("", "_new"),
+        )
+        matched = merged["first_lsn"].notna() & merged["first_lsn_new"].notna()
+        fresh = merged["first_lsn"].isna()
+        # WHEN MATCHED: extend last_lsn (keep first_lsn / pseudonym)
+        merged.loc[matched, "last_lsn"] = np.maximum(
+            merged.loc[matched, "last_lsn"], merged.loc[matched, "last_lsn_new"]
+        )
+        # WHEN NOT MATCHED: insert with a fresh pseudonym
+        merged.loc[fresh, "first_lsn"] = merged.loc[fresh, "first_lsn_new"]
+        merged.loc[fresh, "last_lsn"] = merged.loc[fresh, "last_lsn_new"]
+        merged.loc[fresh, "pseudonym"] = [
+            hashlib.sha256(str(v).encode()).hexdigest()
+            for v in merged.loc[fresh, "original"]
+        ]
+        new += int(fresh.sum())
+        updated += int(matched.sum())
+        out = merged[["field", "original", "pseudonym", "first_lsn", "last_lsn"]]
+        out = out.astype({"first_lsn": "int64", "last_lsn": "int64"}).sort_values(
+            ["field", "original"]
+        )
+        tbl = pa.Table.from_pandas(out.reset_index(drop=True), schema=MAP_SCHEMA)
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return {"new": new, "updated": updated}
+
+
+def erase_from_map(lake_dir: str, field: str, originals: list[str]) -> int:
+    """Delete a subject's mapping rows (``gdpr_delete_request.sql:62-68``):
+    after this, the stored pseudonyms for these values are irreversible.
+    Touches only the buckets the values hash to."""
+    if not originals:
+        return 0
+    s = pd.Series(sorted(set(originals)))
+    removed = 0
+    for b in np.unique(_bucket_of(s)):
+        path = _bucket_path(lake_dir, int(b))
+        if not os.path.exists(path):
+            continue
+        cur = pq.read_table(path).to_pandas()
+        drop = (cur["field"] == field) & cur["original"].isin(s)
+        if drop.any():
+            removed += int(drop.sum())
+            keep = cur[~drop].reset_index(drop=True)
+            tbl = pa.Table.from_pandas(keep, schema=MAP_SCHEMA)
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+    return removed

@@ -36,6 +36,7 @@ def erase_keys(
     *,
     num_buckets: int | None = None,
     lsn_gap: int = ERASE_LSN_GAP,
+    erase_map_fields: list[str] | None = None,
 ) -> dict:
     """Remove the given (repo, path) keys from the live state by applying
     delete tombstones (driver-side mini-tick: the key list is small by
@@ -107,8 +108,23 @@ def erase_keys(
             "kind": "erasure",
         }
     )
+    map_removed = 0
+    if erase_map_fields:
+        # the GDPR delete-request also removes the subject's pseudonym-map
+        # rows (gdpr_delete_request.sql:62-68) — the stored hashes become
+        # irreversible
+        from . import gdpr
+
+        for f in erase_map_fields:
+            vals = [k[0] if f == "repo" else k[1] for k in keys]
+            map_removed += gdpr.erase_from_map(lake_dir, f, vals)
     lineage.gc()
-    return {"erased": applied, "tick": tick_id, "erase_lsn": erase_lsn}
+    return {
+        "erased": applied,
+        "tick": tick_id,
+        "erase_lsn": erase_lsn,
+        "map_rows_removed": map_removed,
+    }
 
 
 def snapshot_derivatives(

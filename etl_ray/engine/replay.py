@@ -72,7 +72,9 @@ class ReplayEngine:
         fail_after_buckets: int | None = None,  # crash injection for tests
         checks: list | None = None,  # quality.CheckSpec list; None = defaults
         folds: list | None = None,  # folds.FoldSpec list; default: none
+        pseudonym_fields: list[str] | None = None,  # gdpr map fields
     ):
+        self.pseudonym_fields = pseudonym_fields or []
         from .quality import DEFAULT_CHECKS
 
         self.checks = DEFAULT_CHECKS if checks is None else checks
@@ -454,6 +456,16 @@ class ReplayEngine:
                 aggregates.recompute_days(
                     self.wal, self.lineage, days, segs[-1]["seqno"]
                 )
+
+        if self.pseudonym_fields:
+            # MERGE the tick's distinct PII values into the pseudonym map
+            # (mod_load_data_gdpr.sql semantics); idempotent, so a crash
+            # between here and the tick publish re-merges harmlessly
+            from . import gdpr
+
+            gdpr.update_map_from_segments(
+                self.lake_dir, segs, target, self.pseudonym_fields
+            )
 
         prev_hi = last["applied_through_lsn"] if last else 0
         self.lineage.publish_tick(
