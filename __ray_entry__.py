@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_first": ev.events_dedup_first,
         "events_latest_per_user": ev.events_latest_per_user,
         "user_daily_activity": ev.user_daily_activity,
+        "user_daily_activity_local": ev.user_daily_activity_local,
         "sessionize": ev.sessionize,
         "rolling_active_days": ev.rolling_active_days,
         "event_gap_stats": ev.event_gap_stats,
@@ -430,6 +431,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS events,
                    COUNT(DISTINCT event_type) AS distinct_types,
                    ROUND(SUM(value), 6) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_daily_activity_local": """
+            SELECT user_id,
+                   strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d') AS local_day,
+                   COUNT(*) AS events, ROUND(SUM(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sessionize": """

@@ -118,20 +118,32 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling(lo: int = 2, hi: int = 8, pairs: int = 2) -> dict:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def run_scaling(lo: int = 2, hi: int = 8, pairs: int = 3) -> dict:
     """Fresh-process runs of the identical CDC replay at two parallelism
     levels; efficiency = throughput(hi) / (hi/lo · throughput(lo)).
 
     Trials are INTERLEAVED (lo, hi, lo, hi, …) because this sandbox VM
     drifts between fast and slow phases (noisy neighbors): a sequential
-    lo-then-hi schedule confounds the phase with the CPU count. Reported
-    efficiency uses the best trial of each level plus per-pair values.
+    lo-then-hi schedule confounds the phase with the CPU count. Both the
+    MEDIAN-based and best-trial efficiencies are reported (median is the
+    headline; best bounds the least-interfered sample).
 
     Default pair is (2, 8) on an 8.16M-event log: the N→4N evidence in the
     regime where parallelism — not this box's shared DRAM bus — is the
     varied resource (the bus saturates by ~8-16 cores; see BASELINE.md; a
     real 4N-node cluster quadruples DRAM with the cores). Override with
-    GRAFT_CDC_EVENTS / the lo & hi args for other regimes (e.g. 8→32)."""
+    GRAFT_CDC_EVENTS / the lo & hi args for other regimes (e.g. 8→32).
+
+    A second config ("verify-weighted") measures replay PLUS the final
+    sha256-export pass — the metric's full path to a verified state. The
+    sha stage is pure compute (hashlib's C core), so this config is less
+    DRAM-bandwidth-bound and its efficiency holds across reruns."""
     # pre-generate + warm so runs measure compute+shuffle, not gen/IO
     import __ray_entry__ as em
 
@@ -140,7 +152,7 @@ def run_scaling(lo: int = 2, hi: int = 8, pairs: int = 2) -> dict:
     wal = em._ensure_wal(SF_DIR)
     _warm_cache(wal.segment_files)
 
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, with_sha: bool) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
@@ -148,6 +160,8 @@ def run_scaling(lo: int = 2, hi: int = 8, pairs: int = 2) -> dict:
             GRAFT_BENCH_CDC_ONLY="1",
             GRAFT_BENCH_TRIALS="1",
         )
+        if with_sha:
+            env["GRAFT_BENCH_WITH_SHA"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
@@ -157,34 +171,49 @@ def run_scaling(lo: int = 2, hi: int = 8, pairs: int = 2) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_secs, hi_secs, pair_eff = [], [], []
-    events = None
-    for _ in range(pairs):
-        r_lo, r_hi = one(lo), one(hi)
-        events = r_lo["cdc_events"]
-        lo_secs.append(r_lo["value"])
-        hi_secs.append(r_hi["value"])
-        pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
-    sec_lo, sec_hi = min(lo_secs), min(hi_secs)
-    eff = (sec_lo / sec_hi) / (hi / lo)
-    return {
-        "metric": f"CDC replay scaling {lo}→{hi} CPUs (N→4N proxy)",
+    def config(with_sha: bool, n_pairs: int) -> dict:
+        lo_secs, hi_secs, pair_eff = [], [], []
+        events = None
+        for _ in range(n_pairs):
+            r_lo, r_hi = one(lo, with_sha), one(hi, with_sha)
+            events = r_lo["cdc_events"]
+            lo_secs.append(r_lo["value"])
+            hi_secs.append(r_hi["value"])
+            pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+        med_lo, med_hi = _median(lo_secs), _median(hi_secs)
+        best_lo, best_hi = min(lo_secs), min(hi_secs)
+        return {
+            "cdc_events": events,
+            f"trials_sec_{lo}": lo_secs,
+            f"trials_sec_{hi}": hi_secs,
+            f"sec_{lo}": med_lo,
+            f"sec_{hi}": med_hi,
+            f"events_per_sec_{lo}": round(events / med_lo, 1),
+            f"events_per_sec_{hi}": round(events / med_hi, 1),
+            "pair_efficiencies": pair_eff,
+            "scaling_efficiency": round((med_lo / med_hi) / (hi / lo), 3),
+            "scaling_efficiency_best": round((best_lo / best_hi) / (hi / lo), 3),
+        }
+
+    out = {
+        "metric": f"CDC replay scaling {lo}→{hi} CPUs (N→4N proxy), "
+        "median of interleaved fresh-process pairs",
         "sf": os.path.basename(SF_DIR),
-        "cdc_events": events,
-        f"sec_{lo}": sec_lo,
-        f"sec_{hi}": sec_hi,
-        f"trials_sec_{lo}": lo_secs,
-        f"trials_sec_{hi}": hi_secs,
-        f"events_per_sec_{lo}": round(events / sec_lo, 1),
-        f"events_per_sec_{hi}": round(events / sec_hi, 1),
-        "pair_efficiencies": pair_eff,
-        "scaling_efficiency": round(eff, 3),
+        "replay": config(with_sha=False, n_pairs=pairs),
+        "replay_plus_sha_verify": config(with_sha=True, n_pairs=pairs),
         "note": "single shared-memory VM proxy for N→4N nodes; measured in the "
         "regime where cores (not the box's shared DRAM bus) are the varied "
         "resource — the bus saturates by ~8-16 cores and run-to-run "
-        "noisy-neighbor variance is up to 4x, hence interleaved best-of trials "
-        "(full ladder + bandwidth analysis in BASELINE.md).",
+        "noisy-neighbor variance is up to 4x, hence interleaved trials with "
+        "median AND best reported (full ladder + bandwidth analysis in "
+        "BASELINE.md).",
     }
+    r = out["replay"]
+    out["scaling_efficiency"] = r["scaling_efficiency"]
+    out["cdc_events"] = r["cdc_events"]
+    out[f"sec_{lo}"] = r[f"sec_{lo}"]
+    out[f"sec_{hi}"] = r[f"sec_{hi}"]
+    return out
 
 
 def run_cdc_only() -> dict:
@@ -203,6 +232,7 @@ def run_cdc_only() -> dict:
     wal = em._ensure_wal(SF_DIR)
     lake = os.path.join(em._SCRATCH, f"bench-lake-{NUM_CPUS}")
     aggregate = not os.environ.get("GRAFT_BENCH_NO_AGG")
+    with_sha = bool(os.environ.get("GRAFT_BENCH_WITH_SHA"))
     secs = []
     for _ in range(trials):
         shutil.rmtree(lake, ignore_errors=True)
@@ -215,6 +245,11 @@ def run_cdc_only() -> dict:
             aggregate=aggregate,
         )
         eng.replay_all()
+        if with_sha:
+            # the metric's full path: verified final state (per-row sha256)
+            from etl_ray.engine.export import final_state
+
+            final_state(lake, with_sha=True).count()
         secs.append(time.perf_counter() - t0)
     sec = min(secs)
     ray.shutdown()

@@ -97,6 +97,40 @@ def user_daily_activity(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
+def user_daily_activity_local(sf_dir: str, tz_offset_minutes: int = 330) -> pd.DataFrame:
+    """Timezone-aware local-date derivation (M6: the reference computes the
+    event's LOCAL day from UTC via the app's timezone before partitioning —
+    ``get_local_date_from_utc_datetime``,
+    ``/root/reference/etl/dags/lib/utils.py:59-62``; applied in
+    ``operators/bigquery.py:25-28``). Fixed-offset variant (+05:30 default):
+    the day key truncates ``ts`` AFTER shifting by the app offset, so day
+    boundaries fall at local midnight, not UTC midnight."""
+    ds = read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    off = pa.scalar(tz_offset_minutes * 60 * 1_000_000, pa.duration("us"))
+
+    def derive(t: pa.Table) -> pa.Table:
+        local = pc.add(t["ts"], off)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "local_day": pc.strftime(local, format="%Y-%m-%d"),
+                "value": t["value"],
+            }
+        )
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_groupby(
+        ds,
+        ["user_id", "local_day"],
+        {"total_value": ("value", "sum")},
+        count_col="events",
+    )
+    df = round_cols(out.to_pandas(), {"total_value": 6})
+    return df.sort_values(["user_id", "local_day"]).reset_index(drop=True)[
+        ["user_id", "local_day", "events", "total_value"]
+    ]
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
