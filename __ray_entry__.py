@@ -558,12 +558,75 @@ def oracle_sql() -> dict[str, str]:
                    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
         """,
+        "doc_quality_scores": """
+            WITH w AS (
+                SELECT doc_id, length(text) AS chars,
+                       regexp_extract_all(lower(text), '[a-z0-9_]+') AS words
+                FROM documents
+            ), s AS (
+                SELECT doc_id, chars,
+                       length(words) AS n_words,
+                       length(list_filter(words, x -> list_contains(
+                           ['the','and','of','a','to','in','is','it','on','for',
+                            'la','el','de','y','en','le','et','der','die','und'],
+                           x))) AS stop_n,
+                       length(list_distinct(words)) AS uniq_n
+                FROM w
+            )
+            , q AS (
+                SELECT doc_id, n_words,
+                       FLOOR(stop_n / GREATEST(n_words, 1) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+                       FLOOR(uniq_n / GREATEST(n_words, 1) * 1000000.0 + 0.5) / 1000000.0 AS frac_unique,
+                       FLOOR((chars - GREATEST(n_words - 1, 0)) / GREATEST(n_words, 1)
+                             * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   stop_ratio, frac_unique, mean_word_len,
+                   FLOOR((0.5 * LEAST(GREATEST(frac_unique, 0), 1)
+                          + 0.3 * (1 - stop_ratio)
+                          + 0.2 * (LEAST(n_words, 200) / 200.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS quality
+            FROM q ORDER BY doc_id
+        """,
         "doc_exact_dedup": """
             SELECT doc_id, lang, source FROM (
                 SELECT doc_id, lang, source,
                        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
                 FROM documents)
             WHERE rn = 1 ORDER BY doc_id
+        """,
+        "doc_ngram_jaccard_topk": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN len(w) < 3
+                           THEN [array_to_string(w, ' ')]
+                           ELSE [array_to_string(w[i:i+2], ' ')
+                                 FOR i IN range(1, len(w) - 1)] END) AS grams
+                FROM (SELECT doc_id,
+                             string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+                      FROM documents)
+            ), q AS (
+                SELECT doc_id AS query_id, grams AS qg FROM d WHERE doc_id < 5
+            ), p AS (
+                SELECT q.query_id, d.doc_id,
+                       FLOOR(CASE WHEN length(qg) + length(grams)
+                                       - length(list_intersect(qg, grams)) = 0
+                             THEN 0.0
+                             ELSE CAST(length(list_intersect(qg, grams)) AS DOUBLE)
+                                  / (length(qg) + length(grams)
+                                     - length(list_intersect(qg, grams))) END
+                             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+                FROM q, d WHERE d.doc_id <> q.query_id
+            ), r AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY query_id ORDER BY jaccard DESC, doc_id)
+                    AS BIGINT) AS rank
+                FROM p
+            )
+            SELECT query_id, doc_id, jaccard, rank FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "emb_knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -586,6 +649,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'user_id' AS key,
                    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS approx_distinct
             FROM events
+        """,
+        "lineitem_approx_distinct_parts": """
+            -- KMV sketch is exact below its k=8192 capacity; sf0.01 has
+            -- 2000 distinct partkeys (NOT exact at sf>=0.05)
+            SELECT 'l_partkey' AS key,
+                   CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS approx_distinct
+            FROM lineitem
         """,
         "emb_label_centroid_norm": """
             SELECT label, COUNT(*) AS n,

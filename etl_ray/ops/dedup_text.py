@@ -413,10 +413,20 @@ def doc_simhash(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _gram_set(text: str, k: int = 3) -> frozenset:
+    """Word k-gram STRING set (no hashing) — the exact-Jaccard brute path
+    uses unhashed grams so the DuckDB oracle reproduces it bit-for-bit
+    (crc32 shingle collisions would be engine-specific)."""
+    words = re.sub(r"\s+", " ", text.lower()).split(" ")
+    if len(words) < k:
+        return frozenset((" ".join(words),))
+    return frozenset(" ".join(words[i : i + k]) for i in range(len(words) - k + 1))
+
+
 def doc_ngram_jaccard_matrix(sf_dir: str, n_queries: int = 5) -> pd.DataFrame:
     """Exact n-gram Jaccard of the first ``n_queries`` docs vs the corpus:
     top-5 most similar per query (brute baseline for the LSH path).
-    Query shingle sets are broadcast; corpus streams."""
+    Query gram sets are broadcast; corpus streams."""
     import pyarrow.dataset as pads
 
     qt = (
@@ -425,21 +435,23 @@ def doc_ngram_jaccard_matrix(sf_dir: str, n_queries: int = 5) -> pd.DataFrame:
         .to_pandas()
     )
     q_ref = ray.put(
-        {int(i): _shingles(t) for i, t in zip(qt["doc_id"], qt["text"])}
+        {int(i): _gram_set(t) for i, t in zip(qt["doc_id"], qt["text"])}
     )
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         qs = ray.get(q_ref)
         rows = []
         for did, text in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-            sb = _shingles(text)
+            sb = _gram_set(text)
             did = int(did)
             for qid, sa in qs.items():
                 if qid == did:
                     continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                inter = len(sa & sb)
                 union = len(sa) + len(sb) - inter
-                rows.append((qid, did, round(inter / union, 6) if union else 0.0))
+                j = inter / union if union else 0.0
+                # micro-grid quantization, identical in the DuckDB oracle
+                rows.append((qid, did, np.floor(j * 1e6 + 0.5) / 1e6))
         return pd.DataFrame(rows, columns=["query_id", "doc_id", "jaccard"])
 
     ds = read(sf_dir, "documents", columns=["doc_id", "text"])

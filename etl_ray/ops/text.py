@@ -98,29 +98,37 @@ class QualityScorer:
         self.word_re = re.compile(r"\w+", re.UNICODE)
         self.stop = frozenset(_STOPWORDS)
 
+    @staticmethod
+    def _q6(x):
+        # explicit micro-grid quantization, written identically in the
+        # DuckDB oracle: FLOOR(x*1e6 + 0.5)/1e6 — bit-identical doubles in
+        # both engines (plain ROUND can differ in the last ULP)
+        return np.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         words = batch["text"].str.lower().str.findall(self.word_re)
         n_words = words.map(len)
         stop_n = words.map(lambda ws: sum(w in self.stop for w in ws))
         uniq_n = words.map(lambda ws: len(set(ws)))
         chars = batch["text"].str.len()
+        q6 = self._q6
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
                 "n_words": n_words.astype("int64"),
-                "stop_ratio": (stop_n / n_words.clip(lower=1)).round(6),
-                "frac_unique": (uniq_n / n_words.clip(lower=1)).round(6),
-                "mean_word_len": (
+                "stop_ratio": q6(stop_n / n_words.clip(lower=1)),
+                "frac_unique": q6(uniq_n / n_words.clip(lower=1)),
+                "mean_word_len": q6(
                     (chars - (n_words - 1).clip(lower=0)) / n_words.clip(lower=1)
-                ).round(6),
+                ),
             }
         )
         # simple composite quality score in [0,1]
-        out["quality"] = (
+        out["quality"] = q6(
             0.5 * out["frac_unique"].clip(0, 1)
             + 0.3 * (1 - out["stop_ratio"])
             + 0.2 * (out["n_words"].clip(0, 200) / 200)
-        ).round(6)
+        )
         return out
 
     @staticmethod
