@@ -650,6 +650,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS approx_distinct
             FROM events
         """,
+        "media_features": """
+            -- the deterministic fake decoder's features are sha256-derived:
+            -- width/height/checksum from digest bytes [0:2],[2:4],[4:12]
+            WITH m AS (
+                SELECT doc_id AS media_id, source AS media_type,
+                       length(text) AS n_bytes, sha256(text) AS h
+                FROM documents
+            ), g AS (
+                SELECT media_id, media_type, n_bytes,
+                    list_sum([(strpos('0123456789abcdef', h[i]) - 1)
+                              * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS w4,
+                    list_sum([(strpos('0123456789abcdef', h[i + 4]) - 1)
+                              * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS h4,
+                    list_sum([(strpos('0123456789abcdef', h[i + 8]) - 1)
+                              * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS c1,
+                    list_sum([(strpos('0123456789abcdef', h[i + 12]) - 1)
+                              * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS c2,
+                    list_sum([(strpos('0123456789abcdef', h[i + 16]) - 1)
+                              * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS c3,
+                    list_sum([(strpos('0123456789abcdef', h[i + 20]) - 1)
+                              * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS c4
+                FROM m
+            )
+            SELECT media_id, media_type, CAST(n_bytes AS BIGINT) AS n_bytes,
+                   CAST(CAST(w4 AS BIGINT) % 1920 + 1 AS BIGINT) AS width,
+                   CAST(CAST(h4 AS BIGINT) % 1080 + 1 AS BIGINT) AS height,
+                   CAST((((CAST(c1 AS HUGEINT) * 65536 + CAST(c2 AS HUGEINT))
+                           * 65536 + CAST(c3 AS HUGEINT)) * 65536
+                           + CAST(c4 AS HUGEINT))
+                        % CAST(4611686018427387904 AS HUGEINT) AS BIGINT) AS checksum
+            FROM g ORDER BY media_id
+        """,
         "lineitem_approx_distinct_parts": """
             -- KMV sketch is exact below its k=8192 capacity; sf0.01 has
             -- 2000 distinct partkeys (NOT exact at sf>=0.05)
