@@ -695,4 +695,27 @@ def oracle_sql() -> dict[str, str]:
                        embedding::DOUBLE[], embedding::DOUBLE[]))) / COUNT(*), 6) AS avg_norm
             FROM embeddings GROUP BY 1 ORDER BY 1
         """,
+        "events_sample": f"""
+            -- deterministic Bernoulli sample: sha256(event_id) 8-byte
+            -- big-endian prefix < 0.1 * 2^64 (hex digest parsed to HUGEINT)
+            WITH h AS (
+                SELECT event_id, user_id, event_type,
+                       sha256(CAST(event_id AS VARCHAR)) AS d
+                FROM events
+            ), v AS (
+                SELECT *,
+                    ((CAST(list_sum([(strpos('0123456789abcdef', d[i]) - 1)
+                          * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS HUGEINT) * 65536
+                       + CAST(list_sum([(strpos('0123456789abcdef', d[i + 4]) - 1)
+                          * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS HUGEINT)) * 65536
+                       + CAST(list_sum([(strpos('0123456789abcdef', d[i + 8]) - 1)
+                          * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS HUGEINT)) * 65536
+                       + CAST(list_sum([(strpos('0123456789abcdef', d[i + 12]) - 1)
+                          * (16 ** (4 - i)) FOR i IN range(1, 5)]) AS HUGEINT) AS hv
+                FROM h
+            )
+            SELECT event_id, user_id, event_type FROM v
+            WHERE hv < CAST({int(0.1 * 2**64)} AS HUGEINT)
+            ORDER BY event_id
+        """,
     }

@@ -191,7 +191,12 @@ def run_scaling(lo: int = 2, hi: int = 8, pairs: int = 3) -> dict:
             f"events_per_sec_{lo}": round(events / med_lo, 1),
             f"events_per_sec_{hi}": round(events / med_hi, 1),
             "pair_efficiencies": pair_eff,
-            "scaling_efficiency": round((med_lo / med_hi) / (hi / lo), 3),
+            # headline: MEDIAN of per-pair efficiencies — the two runs of a
+            # pair are temporally adjacent, so the VM's fast/slow drift
+            # cancels within a pair; medians of the marginals do not have
+            # that property when interference spans a whole trial
+            "scaling_efficiency": round(_median(pair_eff), 3),
+            "scaling_efficiency_median_ratio": round((med_lo / med_hi) / (hi / lo), 3),
             "scaling_efficiency_best": round((best_lo / best_hi) / (hi / lo), 3),
         }
 

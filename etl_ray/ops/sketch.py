@@ -73,17 +73,28 @@ def lineitem_approx_distinct_parts(sf_dir: str) -> pd.DataFrame:
     return approx_distinct(sf_dir, "lineitem", ["l_partkey"], k=8192)
 
 
-def events_sample(sf_dir: str, frac: float = 0.1, seed: int = 17) -> pd.DataFrame:
+def sample_threshold(frac: float) -> int:
+    return int(frac * _U64)
+
+
+def events_sample(sf_dir: str, frac: float = 0.1) -> pd.DataFrame:
     """Deterministic Bernoulli sample (the engine-side sampling the
-    reference lacks): keep rows whose stable key hash < frac·2^64 — the
-    SAME rows at every parallelism and on every rerun (unlike
-    ``ds.random_sample``), so sampled pipelines stay reproducible."""
+    reference lacks): keep rows whose sha256(event_id) 8-byte big-endian
+    prefix < frac·2^64 — the SAME rows at every parallelism, on every
+    rerun, and in every engine (unlike ``ds.random_sample``), so sampled
+    pipelines stay reproducible AND DuckDB-oracle-checkable."""
+    import hashlib
+
     ds = read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
-    threshold = np.uint64(int(frac * _U64))
+    threshold = sample_threshold(frac)
 
     def pick(t: pa.Table) -> pa.Table:
-        h = stable_hash64(t["event_id"].cast(pa.string())).astype(np.uint64)
-        return t.filter(pa.array(h < threshold))
+        sha = hashlib.sha256
+        keep = [
+            int.from_bytes(sha(str(i).encode()).digest()[:8], "big") < threshold
+            for i in t["event_id"].to_pylist()
+        ]
+        return t.filter(pa.array(keep))
 
     out = ds.map_batches(pick, batch_format="pyarrow")
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
