@@ -36,6 +36,18 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--segments-per-tick", type=int, default=None)
     r.add_argument("--no-aggregates", action="store_true")
     r.add_argument("--num-cpus", type=int, default=None)
+    r.add_argument(
+        "--folds",
+        action="store_true",
+        help="maintain the default per-key state-fold metrics "
+        "(change_count + 7-day activity fold)",
+    )
+    r.add_argument(
+        "--pseudonym-field",
+        action="append",
+        default=None,
+        help="maintain the GDPR pseudonym map for this column; repeatable",
+    )
 
     v = sub.add_parser("verify", help="check lake state against the DuckDB oracle")
     v.add_argument("--wal", required=True)
@@ -48,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
         action="append",
         required=True,
         help="repo:path pair; repeatable",
+    )
+    e.add_argument(
+        "--map-field",
+        action="append",
+        default=None,
+        help="also remove the subjects' pseudonym-map rows for this field; "
+        "repeatable",
     )
 
     c = sub.add_parser("compact", help="GC tombstones below the lateness watermark")
@@ -91,11 +110,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "replay":
             from etl_ray.engine import ReplayEngine
 
+            folds = None
+            if args.folds:
+                from etl_ray.engine.folds import DEFAULT_FOLDS
+
+                folds = DEFAULT_FOLDS
             eng = ReplayEngine(
                 args.wal,
                 args.lake,
                 num_buckets=args.buckets,
                 aggregate=not args.no_aggregates,
+                folds=folds,
+                pseudonym_fields=args.pseudonym_field,
             )
             results = eng.replay_all(segments_per_tick=args.segments_per_tick)
             print(
@@ -120,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
                 if not path:
                     p.error(f"--key must be repo:path, got {kv!r}")
                 keys.append((repo, path))
-            print(json.dumps(erase_keys(args.lake, keys)))
+            print(json.dumps(erase_keys(args.lake, keys, erase_map_fields=args.map_field)))
         elif args.cmd == "compact":
             from etl_ray.engine.maintenance import compact_tombstones
 
