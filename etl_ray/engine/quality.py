@@ -148,13 +148,20 @@ def check_unique_live_key(ctx: TickContext) -> list[dict]:
     return out
 
 
-DEFAULT_CHECKS: list[CheckSpec] = [
+#: manifest-only invariants — O(buckets) dict lookups, effectively free;
+#: the engine default
+CHEAP_CHECKS: list[CheckSpec] = [
     CheckSpec("no_key_disappears", check_no_key_disappears, mandatory=True),
     CheckSpec("watermark_monotone", check_watermark_monotone, mandatory=True),
     CheckSpec("deltas_conserved", check_deltas_conserved, mandatory=True),
-    # uniqueness re-reads every touched bucket file — available but optional
-    # by default (enable as mandatory for audit runs)
-    CheckSpec("unique_live_key", check_unique_live_key, mandatory=False),
 ]
 
-CHEAP_CHECKS: list[CheckSpec] = DEFAULT_CHECKS[:3]
+#: audit corpus: adds the key-uniqueness scan, which re-reads every touched
+#: bucket file per tick — pass ``checks=AUDIT_CHECKS`` when that cost is
+#: intended (it roughly doubles the tick's state IO)
+AUDIT_CHECKS: list[CheckSpec] = [
+    *CHEAP_CHECKS,
+    CheckSpec("unique_live_key", check_unique_live_key, mandatory=True),
+]
+
+DEFAULT_CHECKS: list[CheckSpec] = CHEAP_CHECKS

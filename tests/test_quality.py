@@ -90,14 +90,18 @@ def test_optional_check_failure_does_not_block(ray_session, small_wal, tmp_path)
     assert last["quality"]["violations"] == {"always_warns": 1}
 
 
-def test_unique_live_key_check_runs_clean(ray_session, small_wal, tmp_path):
-    from etl_ray.engine.quality import check_unique_live_key
+def test_audit_checks_pass_full_replay(ray_session, small_wal, tmp_path):
+    """AUDIT_CHECKS adds the per-bucket key-uniqueness scan (mandatory):
+    a full replay must pass it on every tick."""
+    from etl_ray.engine.quality import AUDIT_CHECKS
 
     lake = str(tmp_path / "lake")
-    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
-    eng.replay_all()
-
-    class Ctx:  # minimal TickContext for the file-level check
-        new_manifests = eng.lineage.all_bucket_manifests()
-
-    assert check_unique_live_key(Ctx) == []
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, checks=AUDIT_CHECKS
+    )
+    results = eng.replay_all(segments_per_tick=2)
+    assert results
+    assert eng.lineage.last_tick()["quality"] == {
+        "checks_failed": [],
+        "violations": {},
+    }
