@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow_fingerprints": tx.doc_winnow_fingerprints,
         # dedup families
         "doc_exact_dedup": dd.doc_exact_dedup,
+        "doc_dup_groups": dd.doc_dup_groups,
         "doc_minhash_signatures": dd.doc_minhash_signatures,
         "doc_minhash_lsh_pairs": dd.doc_minhash_lsh_pairs,
         "doc_simhash": dd.doc_simhash,
@@ -230,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lsh_buckets": sim.emb_lsh_buckets,
         "emb_cosine_dup_pairs": sim.emb_cosine_dup_pairs,
         "emb_lsh_ann": sim.emb_lsh_ann,
+        "emb_ivf_ann": sim.emb_ivf_ann,
         "emb_label_centroid_norm": sim.emb_label_centroid_norm,
         # multimodal plumbing
         "media_features": mm.media_features,
@@ -556,6 +558,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": """
             SELECT doc_id,
                    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_dup_groups": """
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+                   COUNT(*) OVER (PARTITION BY text) AS group_size
             FROM documents ORDER BY doc_id
         """,
         "doc_quality_scores": """

@@ -54,6 +54,35 @@ def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def doc_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate CLUSTER assignment: every doc labeled with its
+    group's canonical id (min doc_id sharing the text) and group size —
+    the dedup output shape a training-data pipeline actually consumes
+    (keep canonical, drop/weight the rest). Hash-partitioned by content
+    sha; each group resolves independently."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        sha = [hashlib.sha256(s.encode()).hexdigest() for s in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "text_sha": pa.array(sha, pa.string())}
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "canonical_id": np.int64(g["doc_id"].min()),
+                "group_size": np.int64(len(g)),
+            }
+        )
+
+    out = hashed.groupby("text_sha").map_groups(assign, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingles → stable uint64 hashes (crc32-seeded)."""
     words = re.sub(r"\s+", " ", text.lower()).split(" ")

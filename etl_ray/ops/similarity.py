@@ -175,6 +175,78 @@ def emb_lsh_ann(
     return df.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cos"]]
 
 
+def _train_ivf_centroids(
+    sf_dir: str, n_cells: int, seed: int, sample_n: int = 512, iters: int = 10
+) -> np.ndarray:
+    """Deterministic mini-Lloyd on a pruned sample — IVF training is
+    classically a sample-based driver step; the full corpus never leaves
+    storage for it. Centroids are L2-normalized (spherical k-means, since
+    scoring is cosine)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < sample_n
+    )
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = x[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                c[j] = v / np.linalg.norm(v)
+    return c
+
+
+def emb_ivf_ann(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 5,
+) -> pd.DataFrame:
+    """IVF approximate top-k: vectors are binned to their nearest centroid
+    cell; each query scores only vectors in its ``nprobe`` closest cells.
+    One streaming pass, no shuffle: the batch fn bins its own rows and
+    scores the probed subset (centroids broadcast once). Recall vs
+    ``emb_knn_bruteforce`` is asserted in tests — the IVF member of the
+    ANN family next to the LSH one."""
+    qids, q = _query_matrix(sf_dir, n_queries)
+    cents = _train_ivf_centroids(sf_dir, n_cells, seed)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ctx_ref = ray.put((qids, qn, cents, probes, k))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, qn_, cents_, probes_, k_ = ray.get(ctx_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+        vids = batch["vec_id"].to_numpy()
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cell = np.argmax(mn @ cents_.T, axis=1)
+        rows = []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(cell, probes_[qi]) & (vids != qid)
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            cos = np.round(qn_[qi] @ mn[cand].T, 6)
+            order = np.lexsort((vids[cand], -cos))[:k_]
+            for o in order:
+                rows.append((int(qid), int(vids[cand[o]]), float(cos[o])))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = ds.map_batches(score, batch_format="pandas", batch_size=4096).to_pandas()
+    df = df.sort_values(["query_id", "cos", "neighbor_id"], ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount().astype("int64") + 1
+    return df.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cos"]]
+
+
 def emb_label_centroid_norm(sf_dir: str) -> pd.DataFrame:
     """Per-label rollup: count + average vector L2 norm (rounded) — a
     vectorized numeric aggregate over the list column."""

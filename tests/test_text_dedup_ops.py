@@ -145,6 +145,17 @@ def planted_embeddings(tmp_path_factory):
     return str(d)
 
 
+def _ann_recall(brute, ann) -> float:
+    num = den = 0
+    for q in brute["query_id"].unique():
+        bset = set(brute.loc[brute["query_id"] == q, "neighbor_id"])
+        aset = set(ann.loc[ann["query_id"] == q, "neighbor_id"])
+        num += len(bset & aset)
+        den += len(bset)
+    assert den > 0
+    return num / den
+
+
 def test_ann_recall_vs_bruteforce(ray_session, planted_embeddings):
     from etl_ray.ops.similarity import emb_knn_bruteforce, emb_lsh_ann
 
@@ -154,14 +165,20 @@ def test_ann_recall_vs_bruteforce(ray_session, planted_embeddings):
     b1 = brute[brute["rank"] == 1].set_index("query_id")["neighbor_id"]
     for q in range(0, 6, 2):
         assert b1[q] == q + 1, f"brute failed to find twin of {q}"
-    recall_num = recall_den = 0
-    for q in brute["query_id"].unique():
-        bset = set(brute.loc[brute["query_id"] == q, "neighbor_id"])
-        aset = set(ann.loc[ann["query_id"] == q, "neighbor_id"])
-        recall_num += len(bset & aset)
-        recall_den += len(bset)
-    assert recall_den > 0
-    assert recall_num / recall_den >= 0.6, f"ANN recall {recall_num}/{recall_den}"
+    recall = _ann_recall(brute, ann)
+    assert recall >= 0.6, f"LSH ANN recall {recall}"
+
+
+def test_ivf_ann_recall_vs_bruteforce(ray_session, planted_embeddings):
+    from etl_ray.ops.similarity import emb_ivf_ann, emb_knn_bruteforce
+
+    brute = emb_knn_bruteforce(planted_embeddings, n_queries=6, k=1)
+    ann = emb_ivf_ann(planted_embeddings, n_queries=6, k=1, n_cells=8, nprobe=3)
+    recall = _ann_recall(brute, ann)
+    assert recall >= 0.6, f"IVF ANN recall {recall}"
+    # deterministic across runs (seeded training + fixed iterations)
+    ann2 = emb_ivf_ann(planted_embeddings, n_queries=6, k=1, n_cells=8, nprobe=3)
+    pd.testing.assert_frame_equal(ann, ann2)
 
 
 @pytest.fixture(scope="module")
