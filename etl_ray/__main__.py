@@ -85,6 +85,10 @@ def main(argv: list[str] | None = None) -> int:
         "(default 2^20; pass 0 only when the WAL is fully consumed and closed)",
     )
 
+    rb = sub.add_parser("rebucket", help="change the lake's bucket count (crash-safe)")
+    rb.add_argument("--lake", required=True)
+    rb.add_argument("--buckets", type=int, required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -154,6 +158,10 @@ def main(argv: list[str] | None = None) -> int:
             if args.lateness is not None:
                 kw["lateness_bound"] = args.lateness
             print(json.dumps(compact_tombstones(args.lake, **kw)))
+        elif args.cmd == "rebucket":
+            from etl_ray.engine.maintenance import rebucket
+
+            print(json.dumps(rebucket(args.lake, args.buckets)))
         elif args.cmd == "verify":
             import pandas as pd
 

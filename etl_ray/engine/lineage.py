@@ -89,6 +89,41 @@ class LakeLineage:
     def publish_bucket(self, manifest: dict) -> None:
         _atomic_write_json(self._bucket_manifest_path(manifest["bucket"]), manifest)
 
+    def remove_bucket_manifest(self, bucket: int) -> None:
+        p = self._bucket_manifest_path(bucket)
+        if os.path.exists(p):
+            os.remove(p)
+
+    # -- rebucket rollback marker (see maintenance.rebucket) ------------------
+
+    @property
+    def rebucket_marker_path(self) -> str:
+        return os.path.join(self.lake_dir, "_rebucket.json")
+
+    def recover(self) -> bool:
+        """Roll back a crashed rebucket: if the marker exists but its tick
+        manifest does not, the old manifest snapshot is re-published (and
+        any half-published new manifests for since-removed bucket ids are
+        deleted); if the tick WAS committed, only the marker is cleaned.
+        Returns True if a rollback happened."""
+        p = self.rebucket_marker_path
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            marker = json.load(f)
+        committed = os.path.exists(
+            os.path.join(self.ticks_dir, f"tick-{marker['tick']:06d}.json")
+        )
+        if not committed:
+            old = {m["bucket"]: m for m in marker["old_manifests"]}
+            for m in self.all_bucket_manifests():
+                if m["bucket"] not in old:
+                    self.remove_bucket_manifest(m["bucket"])
+            for m in old.values():
+                self.publish_bucket(m)
+        os.remove(p)
+        return not committed
+
     # -- tick manifests (the commit point) -----------------------------------
 
     def last_tick(self) -> dict | None:

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .apply import DELETED_COL, MergeApplier
-from .lineage import LakeLineage
+from .lineage import LakeLineage, _atomic_write_json
 from .partitioning import bucket_of
 from .replay import target_schema_ser
 
@@ -52,6 +52,7 @@ def erase_keys(
     which automatically invalidates any WarmApplierActor caches (they
     validate against the committed manifest per apply)."""
     lineage = LakeLineage(lake_dir)
+    lineage.recover()
     last = lineage.last_tick()
     if last is None:
         raise RuntimeError("cannot erase from an empty lake (no committed tick)")
@@ -177,6 +178,174 @@ def snapshot_derivatives(
     return out
 
 
+def rebucket(
+    lake_dir: str,
+    new_num_buckets: int,
+    *,
+    fail_after_publish: int | None = None,  # crash injection for tests
+) -> dict:
+    """Change the lake's bucket count — the partition-evolution operation a
+    growing lake needs (bucket count is otherwise fixed at creation; at
+    100× data growth the original count under-parallelizes every stage).
+
+    Distributed re-partition using the engine's own indexed-spill shape:
+    one map pass over the committed state writes per-NEW-bucket parquet row
+    groups, then one task per new bucket concatenates + key-sorts its
+    state file. Fold-tail sidecars are UNIONed into every new bucket (an
+    LSN tail hit always means 'this exact event already folded', so the
+    union stays exact while keys move buckets).
+
+    Crash-safe via a rollback marker: the old manifest snapshot is
+    persisted BEFORE any manifest changes; ``LakeLineage.recover()`` (run
+    at every tick start and rebucket start) rolls a half-published attempt
+    back to the old layout. The tick manifest is the commit point, as
+    everywhere else."""
+    import uuid
+
+    import numpy as np
+    import ray
+
+    from .schema_evo import align_to, unify_schemas
+
+    lineage = LakeLineage(lake_dir)
+    lineage.recover()
+    last = lineage.last_tick()
+    if last is None:
+        raise RuntimeError("empty lake")
+    tick_id = last["tick"] + 1
+    old_manifests = lineage.all_bucket_manifests()
+    files = [m["data_file"] for m in old_manifests]
+    target = unify_schemas([pq.read_schema(f) for f in files])
+    nb = new_num_buckets
+
+    spill_dir = os.path.join(lake_dir, "_shuffle", f"rebucket-{tick_id:06d}")
+    import shutil
+
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    os.makedirs(spill_dir, exist_ok=True)
+
+    def spill(batch: pa.Table) -> pa.Table:
+        from .partitioning import BUCKET_COL, with_bucket
+
+        batch = with_bucket(align_to(batch, target), nb)
+        order = pc.sort_indices(batch, sort_keys=[(BUCKET_COL, "ascending")])
+        batch = batch.take(order)
+        codes = batch[BUCKET_COL].to_numpy()
+        data = batch.drop_columns([BUCKET_COL])
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(codes)]])
+        f = os.path.join(spill_dir, f"part-{uuid.uuid4().hex}.parquet")
+        out_b, out_rg = [], []
+        writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="snappy")
+        try:
+            for rg, (s, e) in enumerate(zip(starts, ends)):
+                writer.write_table(data.slice(s, e - s))
+                out_b.append(int(codes[s]))
+                out_rg.append(rg)
+        finally:
+            writer.close()
+        os.replace(f + ".tmp", f)
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.int32()),
+                "file": pa.array([f] * len(out_b), pa.string()),
+                "rg": pa.array(out_rg, pa.int32()),
+            }
+        )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(files, override_num_blocks=max(len(files), 1))
+    shards = ds.map_batches(
+        spill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    by_bucket: dict[int, tuple[list[str], list[int]]] = {}
+    for r in shards:
+        fs, rgs = by_bucket.setdefault(int(r["bucket"]), ([], []))
+        fs.append(r["file"])
+        rgs.append(int(r["rg"]))
+
+    # fold-tail union (exact: LSNs are globally unique per event)
+    tail_union = None
+    old_tails = [m["fold_file"] for m in old_manifests if m.get("fold_file")]
+    if old_tails:
+        t = pa.concat_tables(pq.read_table(f) for f in old_tails)
+        tail_union = pa.table(
+            {"lsn": pa.array(np.unique(t["lsn"].to_numpy()), pa.int64())}
+        )
+
+    from .apply import DELETED_COL, fold_tail_path
+
+    @ray.remote(num_cpus=1)
+    def write_bucket(bucket: int, fs: list[str], rgs: list[int]) -> dict:
+        parts = [pq.ParquetFile(f).read_row_group(rg) for f, rg in zip(fs, rgs)]
+        t = pa.concat_tables(parts).sort_by(
+            [("repo", "ascending"), ("path", "ascending")]
+        )
+        out_path = LakeLineage(lake_dir).bucket_state_path(bucket, tick_id)
+        tmp = out_path + f".{os.getpid()}.tmp"
+        pq.write_table(t, tmp, compression="zstd")
+        os.replace(tmp, out_path)
+        fold_file = None
+        if tail_union is not None:
+            fold_file = fold_tail_path(out_path)
+            pq.write_table(tail_union, fold_file + ".tmp", compression="snappy")
+            os.replace(fold_file + ".tmp", fold_file)
+        live = t.num_rows - (pc.sum(t[DELETED_COL]).as_py() or 0)
+        return {
+            "bucket": bucket,
+            "tick": tick_id,
+            "applied_lsn": int(pc.max(t["lsn"]).as_py()),
+            "rows": int(t.num_rows),
+            "live_rows": int(live),
+            "delta_rows": 0,
+            "data_file": out_path,
+            "fold_file": fold_file,
+        }
+
+    new_manifests = ray.get(
+        [write_bucket.remote(b, fr[0], fr[1]) for b, fr in sorted(by_bucket.items())]
+    )
+
+    # rollback marker BEFORE any manifest mutation (the recovery anchor)
+    _atomic_write_json(
+        lineage.rebucket_marker_path,
+        {"tick": tick_id, "old_manifests": old_manifests},
+    )
+    for i, m in enumerate(new_manifests):
+        if fail_after_publish is not None and i >= fail_after_publish:
+            raise RuntimeError("injected crash mid-rebucket (test only)")
+        lineage.publish_bucket(m)
+    new_ids = {m["bucket"] for m in new_manifests}
+    for m in old_manifests:
+        if m["bucket"] not in new_ids:
+            lineage.remove_bucket_manifest(m["bucket"])
+    lineage.publish_tick(
+        {
+            "tick": tick_id,
+            "through_seqno": last["through_seqno"],
+            "applied_through_lsn": last["applied_through_lsn"],
+            "num_buckets": nb,
+            "segments": [],
+            "events": 0,
+            "buckets_touched": len(new_manifests),
+            "state_rows": sum(m["rows"] for m in new_manifests),
+            "live_rows": sum(m["live_rows"] for m in new_manifests),
+            "kind": "rebucket",
+        }
+    )
+    os.remove(lineage.rebucket_marker_path)
+    lineage.gc()
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    return {
+        "tick": tick_id,
+        "num_buckets": nb,
+        "buckets": len(new_manifests),
+        "state_rows": sum(m["rows"] for m in new_manifests),
+    }
+
+
 def compact_tombstones(
     lake_dir: str,
     *,
@@ -197,6 +366,7 @@ def compact_tombstones(
     and closed. Rewrites only buckets that actually shrink.
     """
     lineage = LakeLineage(lake_dir)
+    lineage.recover()
     last = lineage.last_tick()
     if last is None:
         raise RuntimeError("empty lake")

@@ -357,6 +357,7 @@ class ReplayEngine:
         if not segs:
             return None
 
+        self.lineage.recover()  # roll back any crashed rebucket attempt
         self.lineage.gc()  # drop uncommitted staging from any crashed run
 
         # Ray Data snapshots DataContext at dataset CREATION: the hash
