@@ -560,6 +560,40 @@ def oracle_sql() -> dict[str, str]:
                    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id
         """,
+        "doc_winnow_fingerprints": """
+            -- the winnowing hash is prime*(k-byte sum) with an xor-shift,
+            -- replicable on ASCII text via codepoint lists (k=8, window=16)
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '\\s+', ' ', 'g') AS s
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       [unicode(ch) FOR ch IN regexp_extract_all(s, '.')] AS codes
+                FROM base
+            ), hh AS (
+                SELECT doc_id, len(codes) AS L,
+                    list_transform(
+                        [list_sum(codes[i:i+7])
+                         FOR i IN range(1, len(codes) - 8 + 2)],
+                        v -> xor(v * 1099511628211,
+                                 (v * 1099511628211) >> 33)) AS h
+                FROM c
+            ), f AS (
+                SELECT doc_id,
+                    CASE WHEN L < 8 THEN CAST([] AS BIGINT[])
+                         WHEN len(h) >= 16 THEN list_distinct(
+                             [list_min(h[i:i+15])
+                              FOR i IN range(1, len(h) - 16 + 2)])
+                         ELSE [list_min(h)] END AS fps
+                FROM hh
+            )
+            SELECT doc_id,
+                   CAST(len(fps) AS BIGINT) AS n_fingerprints,
+                   CAST(COALESCE(list_min(fps), 0) AS BIGINT) AS min_fp,
+                   CAST(COALESCE(list_max(fps), 0) AS BIGINT) AS max_fp
+            FROM f ORDER BY doc_id
+        """,
         "doc_dup_groups": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
