@@ -65,16 +65,24 @@ def apply_folds(
     merged: pa.Table,
     fold_rows: pa.Table,
     prev_tail: pa.Table | None,
-    new_hi: int,
+    prune_horizon: int,
     lateness: int,
 ) -> tuple[pa.Table, pa.Table]:
     """Fold the tick's narrow delta events into per-key metric columns on
     the merged state (see ``folds.FoldSpec``). Exact-once folding: replay
     duplicates dedupe by LSN within the tick, and across ticks via the
-    bucket's persisted tail of recently-folded LSNs (every folded LSN
-    above ``new_hi − lateness``) — a dup re-emit is always within the
-    lateness bound of its original, so an incoming LSN either hits the
-    tail (already folded) or is genuinely new.
+    bucket's persisted tail of recently-folded LSNs — an incoming LSN
+    either hits the tail (already folded) or is genuinely new.
+
+    ``prune_horizon`` MUST be the bucket's previous COMMITTED watermark
+    (minus nothing — lateness is subtracted here): every LSN this tick can
+    legitimately receive is above ``committed_hi − lateness`` (bounded
+    out-of-order), and a crashed-tick RE-RUN re-delivers exactly this
+    tick's LSNs — all above that horizon too — so keeping the tail down to
+    it makes re-application a fold no-op (the crash-idempotence the data
+    path gets from LWW monotonicity). Pruning against the tick's own new
+    high watermark instead would drop this tick's lower LSNs and
+    double-count them on a mid-commit crash re-run.
 
     Returns (merged with fold columns, new tail table)."""
     import pandas as pd
@@ -144,8 +152,9 @@ def apply_folds(
                 cname, pa.Array.from_pandas(upd, type=ctype)
             )
 
-    # new tail: every folded LSN still within the lateness window
-    lo = new_hi - lateness
+    # new tail: every folded LSN still deliverable (or re-deliverable by a
+    # crashed-tick re-run) — see the prune_horizon contract above
+    lo = prune_horizon - lateness
     lsns = fr["lsn"].to_numpy()
     keep = lsns[lsns > lo]
     if prev_tail is not None and prev_tail.num_rows:
@@ -263,10 +272,10 @@ class MergeApplier:
             prev_tail = None
             if man is not None and man.get("fold_file"):
                 prev_tail = pq.read_table(man["fold_file"])
-            new_hi = pc.max(merged["lsn"]).as_py()
+            committed_hi = man["applied_lsn"] if man is not None else 0
             merged, tail = apply_folds(
                 self.folds, state, merged, fold_rows, prev_tail,
-                new_hi, self.fold_lateness,
+                committed_hi, self.fold_lateness,
             )
             fold_file = fold_tail_path(out_path)
             ftmp = fold_file + f".{os.getpid()}.tmp"
@@ -384,10 +393,10 @@ class WarmApplierActor:
             prev_tail = None
             if man is not None and man.get("fold_file"):
                 prev_tail = pq.read_table(man["fold_file"])
-            new_hi = pc.max(merged["lsn"]).as_py()
+            committed_hi = man["applied_lsn"] if man is not None else 0
             merged, tail = apply_folds(
                 self.folds, state, merged, fold_rows, prev_tail,
-                new_hi, self.fold_lateness,
+                committed_hi, self.fold_lateness,
             )
             fold_file = fold_tail_path(out_path)
             ftmp = fold_file + f".{os.getpid()}.tmp"

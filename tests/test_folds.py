@@ -99,6 +99,36 @@ def test_fold_replay_is_noop(ray_session, small_wal, tmp_path):
     pd.testing.assert_frame_equal(before, _fold_df(lake))
 
 
+def test_fold_crash_mid_commit_then_resume(ray_session, small_wal, tmp_path):
+    """Crash after SOME bucket manifests publish, before the tick commit:
+    the re-run re-applies the same deltas — the fold tail (pruned only to
+    the previous COMMITTED watermark) must make the re-fold a no-op for
+    published buckets and a fresh fold for unpublished ones, landing
+    exactly on the DuckDB window fold."""
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        folds=DEFAULT_FOLDS, aggregate=False,
+    )
+    assert eng.tick(max_segments=2) is not None  # committed base
+
+    crash = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        folds=DEFAULT_FOLDS, aggregate=False, fail_after_buckets=3,
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crash.tick()
+
+    heal = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        folds=DEFAULT_FOLDS, aggregate=False,
+    )
+    heal.replay_all()
+    pd.testing.assert_frame_equal(
+        _fold_df(lake), duckdb_fold_oracle(small_wal), check_dtype=False
+    )
+
+
 def test_folds_require_spill_shuffle(small_wal, tmp_path):
     with pytest.raises(ValueError):
         ReplayEngine(
