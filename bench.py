@@ -9,10 +9,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
      "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
      "cdc_events": N, "cdc_events_per_sec": N}
 
-``--scaling``: run the identical CDC replay twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same (pre-generated, page-cache-warmed)
-input and report both throughputs plus scaling efficiency
-T(32)/(4·T(8)) — the in-sandbox evidence for the N→4N-node criterion.
+``--scaling``: run the identical CDC replay in FRESH interleaved processes
+at two parallelism levels (default 1 and 4 CPUs) on the same
+(pre-generated, page-cache-warmed) input and report both throughputs plus
+scaling efficiency T(hi)/((hi/lo)·T(lo)) as the median of per-pair values
+— the in-sandbox evidence for the N→4N-node criterion (see BASELINE.md).
 """
 
 from __future__ import annotations
