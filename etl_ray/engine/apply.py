@@ -51,6 +51,7 @@ MANIFEST_SCHEMA = pa.schema(
         ("delta_rows", pa.int64()),
         ("data_file", pa.string()),
         ("fold_file", pa.string()),  # LSN-tail sidecar when folds are active
+        ("fold_through_lsn", pa.int64()),  # max WAL lsn folded (fold horizon)
     ]
 )
 
@@ -268,15 +269,20 @@ class MergeApplier:
 
         out_path = self.lineage.bucket_state_path(bucket, self.tick)
         fold_file = None
+        fold_hi = (man or {}).get("fold_through_lsn") or 0
         if self.folds and fold_rows is not None:
             prev_tail = None
             if man is not None and man.get("fold_file"):
                 prev_tail = pq.read_table(man["fold_file"])
-            committed_hi = man["applied_lsn"] if man is not None else 0
+            # the prune horizon is the FOLD stream's own committed watermark
+            # (max WAL lsn folded) — NOT applied_lsn, which an erasure tick
+            # inflates far past the WAL and would over-prune the tail
             merged, tail = apply_folds(
                 self.folds, state, merged, fold_rows, prev_tail,
-                committed_hi, self.fold_lateness,
+                fold_hi, self.fold_lateness,
             )
+            if fold_rows.num_rows:
+                fold_hi = max(fold_hi, pc.max(fold_rows["lsn"]).as_py())
             fold_file = fold_tail_path(out_path)
             ftmp = fold_file + f".{os.getpid()}.tmp"
             pq.write_table(tail, ftmp, compression="snappy")
@@ -297,6 +303,7 @@ class MergeApplier:
                 "delta_rows": pa.array([group.num_rows], pa.int64()),
                 "data_file": pa.array([out_path], pa.string()),
                 "fold_file": pa.array([fold_file], pa.string()),
+                "fold_through_lsn": pa.array([fold_hi], pa.int64()),
             }
         )
 
@@ -389,15 +396,18 @@ class WarmApplierActor:
 
         out_path = self.lineage.bucket_state_path(bucket, tick)
         fold_file = None
+        fold_hi = (man or {}).get("fold_through_lsn") or 0
         if self.folds and fold_rows is not None:
             prev_tail = None
             if man is not None and man.get("fold_file"):
                 prev_tail = pq.read_table(man["fold_file"])
-            committed_hi = man["applied_lsn"] if man is not None else 0
+            # fold-stream watermark, not applied_lsn (see MergeApplier)
             merged, tail = apply_folds(
                 self.folds, state, merged, fold_rows, prev_tail,
-                committed_hi, self.fold_lateness,
+                fold_hi, self.fold_lateness,
             )
+            if fold_rows.num_rows:
+                fold_hi = max(fold_hi, pc.max(fold_rows["lsn"]).as_py())
             fold_file = fold_tail_path(out_path)
             ftmp = fold_file + f".{os.getpid()}.tmp"
             pq.write_table(tail, ftmp, compression="snappy")
@@ -421,4 +431,5 @@ class WarmApplierActor:
             "delta_rows": int(deltas.num_rows),
             "data_file": out_path,
             "fold_file": fold_file,
+            "fold_through_lsn": int(fold_hi),
         }

@@ -91,9 +91,18 @@ def erase_keys(
     )
     applied = 0
     for b in pc.unique(buckets).to_pylist():
+        prev_man = lineage.bucket_manifest(int(b))
         part = deltas.filter(pc.equal(buckets, b))
         man = applier._apply_one(int(b), part, pre_aligned=True)
-        lineage.publish_bucket({k: man[k][0].as_py() for k in man.schema.names})
+        d = {k: man[k][0].as_py() for k in man.schema.names}
+        if not d.get("fold_file") and prev_man is not None:
+            # the erase mini-tick runs without folds configured; carry the
+            # bucket's fold LSN-tail sidecar reference AND fold watermark so
+            # fold dedup state survives the erasure (the tail file itself is
+            # GC-kept via this ref)
+            d["fold_file"] = prev_man.get("fold_file")
+            d["fold_through_lsn"] = prev_man.get("fold_through_lsn")
+        lineage.publish_bucket(d)
         applied += part.num_rows
     lineage.publish_tick(
         {
@@ -266,7 +275,12 @@ def rebucket(
         fs.append(r["file"])
         rgs.append(int(r["rg"]))
 
-    # fold-tail union (exact: LSNs are globally unique per event)
+    # fold-tail union (exact: LSNs are globally unique per event); the new
+    # fold watermark is the MIN over old buckets — a lower horizon only
+    # keeps more tail entries, never over-prunes
+    fold_hi = min(
+        (m.get("fold_through_lsn") or 0 for m in old_manifests), default=0
+    )
     tail_union = None
     old_tails = [m["fold_file"] for m in old_manifests if m.get("fold_file")]
     if old_tails:
@@ -302,6 +316,7 @@ def rebucket(
             "delta_rows": 0,
             "data_file": out_path,
             "fold_file": fold_file,
+            "fold_through_lsn": fold_hi,
         }
 
     new_manifests = ray.get(
