@@ -85,9 +85,20 @@ def main(argv: list[str] | None = None) -> int:
         "(default 2^20; pass 0 only when the WAL is fully consumed and closed)",
     )
 
+    r.add_argument(
+        "--follow",
+        action="store_true",
+        help="live-tail mode: keep ticking as sealed segments appear; exits "
+        "after --idle-timeout seconds without new data",
+    )
+    r.add_argument("--idle-timeout", type=float, default=10.0)
+
     rb = sub.add_parser("rebucket", help="change the lake's bucket count (crash-safe)")
     rb.add_argument("--lake", required=True)
     rb.add_argument("--buckets", type=int, required=True)
+
+    st = sub.add_parser("status", help="lineage summary of a lake")
+    st.add_argument("--lake", required=True)
 
     args = p.parse_args(argv)
 
@@ -127,7 +138,13 @@ def main(argv: list[str] | None = None) -> int:
                 folds=folds,
                 pseudonym_fields=args.pseudonym_field,
             )
-            results = eng.replay_all(segments_per_tick=args.segments_per_tick)
+            if args.follow:
+                results = eng.follow(
+                    idle_timeout_s=args.idle_timeout,
+                    segments_per_tick=args.segments_per_tick,
+                )
+            else:
+                results = eng.replay_all(segments_per_tick=args.segments_per_tick)
             print(
                 json.dumps(
                     [
@@ -158,6 +175,29 @@ def main(argv: list[str] | None = None) -> int:
             if args.lateness is not None:
                 kw["lateness_bound"] = args.lateness
             print(json.dumps(compact_tombstones(args.lake, **kw)))
+        elif args.cmd == "status":
+            from etl_ray.engine.lineage import LakeLineage
+
+            lin = LakeLineage(args.lake)
+            last = lin.last_tick()
+            mans = lin.all_bucket_manifests()
+            print(
+                json.dumps(
+                    {
+                        "last_tick": last,
+                        "buckets": len(mans),
+                        "state_rows": sum(m["rows"] for m in mans),
+                        "live_rows": sum(m["live_rows"] for m in mans),
+                        "min_applied_lsn": min(
+                            (m["applied_lsn"] for m in mans), default=None
+                        ),
+                        "max_applied_lsn": max(
+                            (m["applied_lsn"] for m in mans), default=None
+                        ),
+                        "ticks": len(lin.all_ticks()),
+                    }
+                )
+            )
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
 

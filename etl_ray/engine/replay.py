@@ -509,6 +509,36 @@ class ReplayEngine:
             out.append(r)
         return out
 
+    def follow(
+        self,
+        *,
+        poll_interval_s: float = 1.0,
+        idle_timeout_s: float = 10.0,
+        max_ticks: int | None = None,
+        segments_per_tick: int | None = None,
+    ) -> list[TickResult]:
+        """Live-tail mode: keep ticking as the WAL's segment manifest grows
+        (the reference's sensor-poll loop, ``event_partition.py:41-66`` —
+        here the WAL manifest is the sealer, see ``watermark`` for the
+        sealing policy itself). Reloads the manifest each poll; returns
+        once no new sealed segment arrives within ``idle_timeout_s`` (the
+        force-close analog) or after ``max_ticks``."""
+        results: list[TickResult] = []
+        idle_since = time.monotonic()
+        while True:
+            self.wal = WalInfo.load(self.wal.wal_dir)  # new sealed segments?
+            r = self.tick(segments_per_tick)
+            if r is not None:
+                results.append(r)
+                idle_since = time.monotonic()
+                if max_ticks is not None and len(results) >= max_ticks:
+                    break
+            else:
+                if time.monotonic() - idle_since >= idle_timeout_s:
+                    break
+                time.sleep(poll_interval_s)
+        return results
+
 
 def deltas_schema(envelope: pa.Schema) -> pa.Schema:
     """Schema of delta rows after op→tombstone shaping (what appliers see)."""

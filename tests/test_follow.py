@@ -1,0 +1,66 @@
+"""Live-tail mode: the engine keeps ticking as sealed segments appear in
+the WAL manifest, and the final state matches the full-log oracle."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pandas as pd
+
+from etl_ray.engine import ReplayEngine
+from etl_ray.engine.export import final_state
+from etl_ray.oracle import expected_final_state
+from etl_ray.wal import WalInfo
+
+
+def test_follow_consumes_growing_wal(ray_session, small_wal, tmp_path):
+    # a "view" WAL dir whose manifest starts with 2 sealed segments and
+    # grows; segment files are shared with the source WAL (absolute paths)
+    view_dir = str(tmp_path / "walview")
+    import os
+
+    os.makedirs(view_dir, exist_ok=True)
+
+    def manifest_through(k: int) -> None:
+        info = WalInfo(
+            wal_dir=view_dir,
+            n_events=sum(s["rows"] for s in small_wal.segments[:k]),
+            n_base_events=small_wal.n_base_events,
+            evolve_lsn=small_wal.evolve_lsn,
+            segments=small_wal.segments[:k],
+            params=None,
+        )
+        info.save()
+
+    total = len(small_wal.segments)
+    manifest_through(2)
+
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(view_dir, lake, num_buckets=8, concurrency=2, aggregate=False)
+    results: list = []
+
+    def run():
+        results.extend(
+            eng.follow(poll_interval_s=0.2, idle_timeout_s=6.0, segments_per_tick=None)
+        )
+
+    t = threading.Thread(target=run)
+    t.start()
+    for k in range(3, total + 1):  # seal one more segment every beat
+        time.sleep(1.0)
+        manifest_through(k)
+    t.join(timeout=120)
+    assert not t.is_alive()
+
+    assert len(results) >= 2  # consumed across multiple polls
+    assert sum(r.segments for r in results) == total
+    got = (
+        final_state(lake, with_sha=True)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = expected_final_state(small_wal).to_pandas()
+    assert len(got) == len(exp)
+    assert (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
