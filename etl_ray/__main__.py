@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="lineage summary of a lake")
     st.add_argument("--lake", required=True)
 
+    au = sub.add_parser(
+        "audit", help="run the AUDIT data-quality corpus against a lake's state"
+    )
+    au.add_argument("--lake", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -198,6 +203,29 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "audit":
+            from etl_ray.engine.lineage import LakeLineage
+            from etl_ray.engine.quality import AUDIT_CHECKS, TickContext, run_checks
+
+            lin = LakeLineage(args.lake)
+            last = lin.last_tick()
+            mans = lin.all_bucket_manifests()
+            # offline audit: the committed state is both 'new' and 'prev'
+            # (manifest-delta checks no-op; the uniqueness scan does the work)
+            ctx = TickContext(
+                lineage=lin,
+                tick=(last or {}).get("tick", -1),
+                events=0,
+                segments=[],
+                new_manifests=mans,
+                prev_manifests={m["bucket"]: m for m in mans},
+                prev_tick=last,
+            )
+            rep = run_checks(
+                [c for c in AUDIT_CHECKS if c.name != "deltas_conserved"], ctx
+            )
+            print(json.dumps(rep.summary()))
+            return 1 if rep.failed_mandatory else 0
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
 

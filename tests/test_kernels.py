@@ -100,3 +100,39 @@ class TestPartitioning:
         lsn = pa.array(np.arange(0, 1 << 18, 1 << 12), pa.int64())
         s = salt_of(lsn, 4).to_pylist()
         assert set(s) <= {0, 1, 2, 3} and len(set(s)) == 4
+
+
+def test_salt_cells_merge_to_same_winners():
+    """SURVEY §7.4 salt-merge correctness: splitting one hot key's events
+    into LSN-window salt cells, reducing each cell independently, then
+    re-merging (max-LSN wins) must equal the unsalted reduction — the
+    associativity that makes explicit hot-key salting safe."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.engine.dedup import last_writer
+    from etl_ray.engine.partitioning import salt_of
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    lsns = rng.permutation(np.arange(1, n + 1)).astype("int64")
+    t = pa.table(
+        {
+            "repo": pa.array(["hot/repo"] * n),
+            "path": pa.array([f"f{i % 7}" for i in range(n)]),  # 7 keys
+            "lsn": pa.array(lsns, pa.int64()),
+            "content": pa.array([f"c{v}" for v in lsns]),
+        }
+    )
+    salts = salt_of(t["lsn"], n_salts=4, window=256)
+    cells = [
+        last_writer(t.filter(pa.compute.equal(salts, s)))
+        for s in range(4)
+    ]
+    merged = last_writer(pa.concat_tables(cells)).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    direct = last_writer(t).sort_by(
+        [("repo", "ascending"), ("path", "ascending")]
+    )
+    assert merged.equals(direct)
