@@ -165,19 +165,21 @@ def recompute_days_from_agglog(
     """Re-aggregate the given days from the narrow per-day agg log the
     spill stage maintains (day, lang, repo, path, op, lsn, nbytes).
 
-    No shuffle AT ALL: the log is already partitioned by day, so the unit
-    of work is one task per day — read that day's files, drop replayed
-    duplicate LSNs, one vectorized pandas groupby over (lang, repo)
-    (crash-attempt double-writes are GC'd by ``gc_agglog_tick``; identical
-    LSNs collapse here anyway)."""
+    No shuffle AT ALL: the log is day-indexed (one row group per day per
+    spill file), so the unit of work is one task per day — read that day's
+    row groups, drop replayed duplicate LSNs, one vectorized pandas
+    groupby over (lang, repo) (crash-attempt double-writes are GC'd by
+    ``gc_agglog_tick``; identical LSNs collapse here anyway)."""
     if not days:
         return {"days": 0}
     metrics = DEFAULT_METRICS if metrics is None else metrics
     items = []
     for d in sorted(days):
-        files = lineage.agglog_day_files(d)
-        if files:
-            items.append({"day": d, "files": files})
+        rgs = lineage.agglog_day_rgs(d)
+        if rgs:
+            items.append(
+                {"day": d, "files": [f for f, _ in rgs], "rgs": [r for _, r in rgs]}
+            )
     if not items:
         return {"days": 0}
 
@@ -185,7 +187,8 @@ def recompute_days_from_agglog(
         outs = []
         for _, row in batch.iterrows():
             g = pa.concat_tables(
-                pq.read_table(f) for f in row["files"]
+                pq.ParquetFile(f).read_row_group(rg)
+                for f, rg in zip(row["files"], row["rgs"])
             ).to_pandas()
             g = g.drop_duplicates("lsn")
             live = g["op"] != "delete"

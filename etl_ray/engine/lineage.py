@@ -167,31 +167,48 @@ class LakeLineage:
         return removed
 
     # -- narrow agg log (per-day projection of the event stream) --------------
+    #
+    # Layout: one parquet per stage-1 task per tick with one ROW GROUP per
+    # day run, plus a sidecar ``.json`` index {day: row_group} — the same
+    # indexed-spill-file trick as the data shuffle. A wide-day tick (full
+    # history replay / backfill) writes tasks×1 files instead of tasks×days
+    # tiny ones.
 
-    def agglog_day_dir(self, day: str) -> str:
-        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
-            raise ValueError(f"bad day partition: {day!r}")
-        d = os.path.join(self.lake_dir, "_agglog", f"day={day}")
+    def agglog_dir(self) -> str:
+        d = os.path.join(self.lake_dir, "_agglog")
         os.makedirs(d, exist_ok=True)
         return d
 
-    def agglog_day_files(self, day: str) -> list[str]:
-        return sorted(
-            glob.glob(os.path.join(self.lake_dir, "_agglog", f"day={day}", "*.parquet"))
-        )
+    def agglog_part_path(self, tick: int, token: str) -> str:
+        return os.path.join(self.agglog_dir(), f"t{tick:06d}-{token}.parquet")
+
+    def agglog_day_rgs(self, day: str) -> list[tuple[str, int]]:
+        """(parquet file, row group) pairs holding this day's log rows."""
+        if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
+            raise ValueError(f"bad day partition: {day!r}")
+        out = []
+        for idx in sorted(glob.glob(os.path.join(self.agglog_dir(), "t*.json"))):
+            with open(idx) as f:
+                days = json.load(f)
+            if day in days:
+                out.append((idx[: -len(".json")] + ".parquet", days[day]))
+        return out
 
     def gc_agglog_tick(self, tick: int) -> int:
         """Remove agg-log files written by a crashed attempt of ``tick``
         (they would otherwise double-count; re-run rewrites them)."""
         removed = 0
-        for p in glob.glob(
-            os.path.join(self.lake_dir, "_agglog", "day=*", f"t{tick:06d}-*.parquet")
-        ):
-            os.remove(p)
-            removed += 1
-        for p in glob.glob(os.path.join(self.lake_dir, "_agglog", "day=*", "*.tmp")):
-            os.remove(p)
-            removed += 1
+        pats = [
+            os.path.join(self.lake_dir, "_agglog", f"t{tick:06d}-*"),
+            os.path.join(self.lake_dir, "_agglog", "*.tmp"),
+            # legacy per-day layout (pre-round-2 lakes)
+            os.path.join(self.lake_dir, "_agglog", "day=*", f"t{tick:06d}-*.parquet"),
+            os.path.join(self.lake_dir, "_agglog", "day=*", "*.tmp"),
+        ]
+        for pat in pats:
+            for p in glob.glob(pat):
+                os.remove(p)
+                removed += 1
         return removed
 
     # -- aggregate partitions -------------------------------------------------

@@ -160,7 +160,6 @@ class ReplayEngine:
         shutil.rmtree(spill_dir, ignore_errors=True)
         os.makedirs(spill_dir, exist_ok=True)
 
-        agglog_dirs = {}
         nb = self.num_buckets
         enrich = LangEnricher()
         # capture plain values, NOT self: the closure ships to every task and
@@ -214,16 +213,35 @@ class ReplayEngine:
                 )
             batch = enrich(batch)
             if do_aggregate:
+                # ONE agg-log file per task, one row group per day run,
+                # sidecar day→rg index (indexed spill-file shape) — a
+                # wide-day backfill tick writes tasks files, not tasks×days
+                import json as _json
+
                 proj = _project(batch)
-                days_col = proj["day"]
-                for day in pc.unique(days_col).to_pylist():
-                    part = proj.filter(pc.equal(days_col, day))
-                    ddir = agglog_dirs.get(day)
-                    if ddir is None:
-                        ddir = agglog_dirs[day] = lineage.agglog_day_dir(day)
-                    fp = os.path.join(ddir, f"t{tick_id:06d}-{uuid.uuid4().hex}.parquet")
-                    pq.write_table(part, fp + ".tmp", compression="snappy")
-                    os.replace(fp + ".tmp", fp)
+                order = pc.sort_indices(proj, sort_keys=[("day", "ascending")])
+                proj = proj.take(order)
+                fp = lineage.agglog_part_path(tick_id, uuid.uuid4().hex)
+                days_np = proj["day"].to_pylist()
+                import numpy as _np
+
+                arr = _np.array(days_np, dtype=object)
+                bounds = _np.flatnonzero(arr[1:] != arr[:-1]) + 1
+                starts = _np.concatenate([[0], bounds])
+                ends = _np.concatenate([bounds, [len(arr)]])
+                index = {}
+                writer = pq.ParquetWriter(fp + ".tmp", proj.schema, compression="snappy")
+                try:
+                    for rg, (s, e) in enumerate(zip(starts, ends)):
+                        writer.write_table(proj.slice(s, e - s))
+                        index[arr[s]] = rg
+                finally:
+                    writer.close()
+                os.replace(fp + ".tmp", fp)
+                idx_path = fp[: -len(".parquet")] + ".json"
+                with open(idx_path + ".tmp", "w") as f:
+                    _json.dump(index, f)
+                os.replace(idx_path + ".tmp", idx_path)
             fold_lookup: dict[int, int] = {}
             ffile = ""
             if folds_active:
@@ -444,6 +462,7 @@ class ReplayEngine:
 
         agglog_this_tick = self.aggregate and self.shuffle == "spill"
         if self.aggregate:
+            t_ag = time.perf_counter()
             days = aggregates.days_of_segments(segs)
             # the agg log is only complete if EVERY segment-processing tick
             # so far maintained it; after a mode switch (sort/hash shuffle,
@@ -456,6 +475,12 @@ class ReplayEngine:
             else:
                 aggregates.recompute_days(
                     self.wal, self.lineage, days, segs[-1]["seqno"]
+                )
+            if os.environ.get("ETL_RAY_DEBUG"):
+                print(
+                    f"[etl-ray] aggregates ({len(days)} days): "
+                    f"{time.perf_counter() - t_ag:.2f}s",
+                    flush=True,
                 )
 
         if self.pseudonym_fields:
