@@ -312,6 +312,7 @@ class ReplayEngine:
         if self.warm_state:
             import ray as _r
 
+            t_wa = time.perf_counter()
             pool = self._warm_pool()
             futures = [
                 pool[it["bucket"] % len(pool)].apply.remote(
@@ -320,7 +321,14 @@ class ReplayEngine:
                 )
                 for it in items
             ]
-            return _r.get(futures)  # list of manifest dicts
+            out = _r.get(futures)  # list of manifest dicts
+            if os.environ.get("ETL_RAY_DEBUG"):
+                print(
+                    f"[etl-ray] warm apply ({len(items)} buckets): "
+                    f"{time.perf_counter() - t_wa:.2f}s",
+                    flush=True,
+                )
+            return out
         lo, hi = self._applier_pool_size()
         apply_ds = ray.data.from_items(items, override_num_blocks=len(items))
         return apply_ds.map_batches(
@@ -377,6 +385,11 @@ class ReplayEngine:
 
         self.lineage.recover()  # roll back any crashed rebucket attempt
         self.lineage.gc()  # drop uncommitted staging from any crashed run
+
+        if self.warm_state:
+            # kick actor CREATION now (async, num_cpus=0): startup overlaps
+            # the stage-1 dataset instead of serializing after it
+            self._warm_pool()
 
         # Ray Data snapshots DataContext at dataset CREATION: the hash
         # strategy must be active while the apply pipeline is being built.
