@@ -403,7 +403,17 @@ class ReplayEngine:
         self.lineage.gc_agglog_tick(tick_id)  # crashed-attempt agg-log files
 
         target = target_schema_for(segs)
-        ds = read_segments(segs, target)
+        # one block per segment by default; split WITHIN segments (the WAL
+        # writes 32k-row groups) only in the degenerate few-large-segments
+        # case — finer than ~256k-row blocks multiplies spill-file row-group
+        # fragments per bucket and slows the appliers more than the extra
+        # read parallelism gains
+        import ray as _ray_mod
+
+        cpus = int(_ray_mod.cluster_resources().get("CPU", 8))
+        total_rows = sum(s["rows"] for s in segs)
+        nb = max(len(segs), min(cpus, total_rows // 262_144))
+        ds = read_segments(segs, target, override_num_blocks=nb)
 
         if self.shuffle != "spill":
             # spill fuses enrich/reduce/bucket into its stage-1 task

@@ -63,6 +63,7 @@ def read_segments(
     def _align(batch: pa.Table) -> pa.Table:
         return align_to(batch, target)
 
+    total_files = sum(len(f) for f in groups.values())
     parts = []
     for _, files in sorted(groups.items()):
         cols = None
@@ -70,8 +71,14 @@ def read_segments(
             avail = set(pq.read_schema(files[0]).names)
             cols = [c for c in columns if c in avail]
         # default: one block per segment file — segments are already sized
-        # for the pipeline (no SplitBlocks shatter into tiny blocks)
-        nb = override_num_blocks if override_num_blocks else len(files)
+        # for the pipeline (no SplitBlocks shatter into tiny blocks);
+        # an explicit override is apportioned across schema groups and can
+        # split WITHIN files down to row-group granularity (the WAL writes
+        # 32k-row groups for exactly this)
+        if override_num_blocks:
+            nb = max(len(files), override_num_blocks * len(files) // total_files)
+        else:
+            nb = len(files)
         ds = ray.data.read_parquet(files, columns=cols, override_num_blocks=nb)
         parts.append(ds.map_batches(_align, batch_format="pyarrow", zero_copy_batch=True))
     out = parts[0]

@@ -245,6 +245,7 @@ def generate_wal(
         "content_max": content_max,
         "days_span": days_span,
         "chunk_rows": chunk_rows,
+        "row_group_rows": 32_768,  # cache-buster: rg layout is part of identity
     }
     manifest_path = os.path.join(wal_dir, MANIFEST_NAME)
     if os.path.exists(manifest_path) and not overwrite:
@@ -290,7 +291,14 @@ def generate_wal(
             sz = seg["_size"].where(seg["lsn"] > evolve_lsn, np.nan)
             cols["size_bytes"] = pa.Array.from_pandas(sz, type=pa.int64())
         fpath = os.path.join(wal_dir, f"seg-{seq:08d}.parquet")
-        pq.write_table(pa.table(cols), fpath + ".tmp", compression="zstd")
+        # moderate row groups so readers can split a segment across tasks
+        # (a single 1M-row default row group pins one file to one reader)
+        pq.write_table(
+            pa.table(cols),
+            fpath + ".tmp",
+            compression="zstd",
+            row_group_size=32_768,
+        )
         os.replace(fpath + ".tmp", fpath)
         info.segments.append(
             {
