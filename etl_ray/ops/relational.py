@@ -315,6 +315,10 @@ def orders_asof_last_event(sf_dir: str, n_buckets: int = 8) -> pd.DataFrame:
             )
             m = pd.merge_asof(e, o, on="t", by="key", direction="backward")
         m["o_orderkey"] = m["o_orderkey"].astype("Int64")
+        # events-side rows are never null here, but the tagged union's
+        # orders-side nulls promoted the column to float64 on conversion —
+        # restore int64 so the result matches the oracle exactly.
+        m["event_id"] = m["event_id"].astype("int64")
         m = m.rename(columns={"key": "user_id"})
         return m[["event_id", "user_id", "t", "o_orderkey"]]
 

@@ -48,6 +48,25 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _canon_hash(df: pd.DataFrame) -> str:
+    """Canonical value hash mimicking the driver: sort columns by name, sort
+    rows, stringify every cell. Representation-sensitive on purpose — pandas
+    Int64 ``252`` and float64 ``252.0`` hash DIFFERENTLY, so dtype drift
+    between a query and its oracle fails here instead of silently breaking a
+    green driver row (round-2 lesson: cdc_final_state / orders_asof)."""
+    import hashlib
+
+    df = _normalize(df)
+    h = hashlib.sha256()
+    for col in df.columns:
+        h.update(col.encode())
+        h.update(b"\x1e")
+        for v in df[col].tolist():
+            h.update(str(v).encode())
+            h.update(b"\x1f")
+    return h.hexdigest()
+
+
 _SQL = entrymod.oracle_sql()
 _QUERIES = entrymod.queries()
 _ORACLED = sorted(k for k in _QUERIES if k in _SQL)
@@ -72,6 +91,11 @@ def test_query_matches_oracle(ray_session, sf_dir, name):
     )
     g, e = _normalize(got), _normalize(exp)
     pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True, obj=name)
+    assert _canon_hash(got) == _canon_hash(exp), (
+        f"{name}: values equal but canonical string-hash differs — dtype/"
+        f"representation drift (e.g. Int64 vs float64). dtypes got="
+        f"{dict(got.dtypes.astype(str))} exp={dict(exp.dtypes.astype(str))}"
+    )
 
 
 @pytest.mark.parametrize("name", [k for k in _ROWS_ONLY if not k.startswith("cdc_")])
