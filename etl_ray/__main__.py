@@ -65,7 +65,8 @@ def main(argv: list[str] | None = None) -> int:
         "--map-field",
         action="append",
         default=None,
-        help="also remove the subjects' pseudonym-map rows for this field; "
+        help="also remove the subjects' pseudonym-map rows; 'repo'/'path' "
+        "derive values from --key, any other field needs 'field=value'; "
         "repeatable",
     )
 

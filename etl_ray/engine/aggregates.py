@@ -187,7 +187,8 @@ def recompute_days_from_agglog(
         outs = []
         for _, row in batch.iterrows():
             g = pa.concat_tables(
-                pq.ParquetFile(f).read_row_group(rg)
+                # rg == -1: legacy per-day layout, whole-file read
+                pq.read_table(f) if rg < 0 else pq.ParquetFile(f).read_row_group(rg)
                 for f, rg in zip(row["files"], row["rgs"])
             ).to_pandas()
             g = g.drop_duplicates("lsn")

@@ -133,6 +133,17 @@ class LakeLineage:
         with open(ticks[-1]) as f:
             return json.load(f)
 
+    @staticmethod
+    def wal_watermark(tick: dict) -> int:
+        """True max WAL LSN seen by the lake, NOT inflated by erasure ticks
+        (whose ``applied_through_lsn`` sits ``lsn_gap`` above the log). New
+        ticks carry ``wal_through_lsn`` explicitly; legacy lakes fall back to
+        ``applied_through_lsn`` (pre-fix behavior, correct until the first
+        erasure). Compaction/lateness watermarks MUST derive from this, never
+        from ``applied_through_lsn`` — otherwise each erasure silently eats
+        one ``lateness_bound`` of tombstone protection."""
+        return tick.get("wal_through_lsn", tick["applied_through_lsn"])
+
     def all_ticks(self) -> list[dict]:
         out = []
         for p in sorted(glob.glob(os.path.join(self.ticks_dir, "tick-*.json"))):
@@ -183,7 +194,11 @@ class LakeLineage:
         return os.path.join(self.agglog_dir(), f"t{tick:06d}-{token}.parquet")
 
     def agglog_day_rgs(self, day: str) -> list[tuple[str, int]]:
-        """(parquet file, row group) pairs holding this day's log rows."""
+        """(parquet file, row group) pairs holding this day's log rows.
+        Row group ``-1`` means "whole file" — used for the legacy per-day
+        layout (``day=<d>/t*.parquet``, pre-round-2 lakes), which must still
+        be scanned or continuing replay on an old lake silently under-counts
+        every legacy day."""
         if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
             raise ValueError(f"bad day partition: {day!r}")
         out = []
@@ -192,6 +207,10 @@ class LakeLineage:
                 days = json.load(f)
             if day in days:
                 out.append((idx[: -len(".json")] + ".parquet", days[day]))
+        for p in sorted(
+            glob.glob(os.path.join(self.agglog_dir(), f"day={day}", "t*.parquet"))
+        ):
+            out.append((p, -1))
         return out
 
     def gc_agglog_tick(self, tick: int) -> int:

@@ -61,7 +61,13 @@ def erase_keys(
         if num_buckets is None:
             raise ValueError("lake predates bucket-count lineage; pass num_buckets")
     tick_id = last["tick"] + 1
-    erase_lsn = last["applied_through_lsn"] + lsn_gap
+    # anchor the tombstone gap on the TRUE WAL high-LSN, not the (possibly
+    # already erase-inflated) applied watermark — otherwise repeated erasures
+    # stack gaps (k·lsn_gap after k erasures) and later compaction loses its
+    # lateness protection entirely. Successive erasures step by +1 above the
+    # applied watermark so later delete-requests still out-rank earlier ones.
+    wal_hi = LakeLineage.wal_watermark(last)
+    erase_lsn = max(last["applied_through_lsn"] + 1, wal_hi + lsn_gap)
 
     repos = pa.array([k[0] for k in keys], pa.string())
     paths = pa.array([k[1] for k in keys], pa.string())
@@ -109,6 +115,7 @@ def erase_keys(
             "tick": tick_id,
             "through_seqno": last["through_seqno"],
             "applied_through_lsn": erase_lsn,
+            "wal_through_lsn": wal_hi,  # erasure does NOT advance the WAL
             "segments": [],
             "events": n,
             "buckets_touched": len(pc.unique(buckets)),
@@ -126,8 +133,23 @@ def erase_keys(
         from . import gdpr
 
         for f in erase_map_fields:
-            vals = [k[0] if f == "repo" else k[1] for k in keys]
-            map_removed += gdpr.erase_from_map(lake_dir, f, vals)
+            # a bare field name is only unambiguous for the key columns; any
+            # other pseudonymized column needs an explicit "field=value" so
+            # the delete-request can never silently remove zero mapping rows
+            # (the gdpr_delete_request.sql completeness invariant)
+            if "=" in f:
+                fname, _, fval = f.partition("=")
+                map_removed += gdpr.erase_from_map(lake_dir, fname, [fval])
+            elif f == "repo":
+                map_removed += gdpr.erase_from_map(lake_dir, f, [k[0] for k in keys])
+            elif f == "path":
+                map_removed += gdpr.erase_from_map(lake_dir, f, [k[1] for k in keys])
+            else:
+                raise ValueError(
+                    f"--map-field {f!r}: subject values are only derivable "
+                    "from the erase keys for 'repo'/'path'; pass an explicit "
+                    f"'{f}=<value>' pair for other pseudonymized fields"
+                )
     lineage.gc()
     return {
         "erased": applied,
@@ -156,7 +178,9 @@ def snapshot_derivatives(
     last = lineage.last_tick()
     if last is None:
         raise RuntimeError("empty lake")
-    hi_lsn = last["applied_through_lsn"]
+    # erasure ticks inflate applied_through_lsn by lsn_gap; recency windows
+    # must anchor on the true WAL position
+    hi_lsn = LakeLineage.wal_watermark(last)
     us_day = 86_400_000_000
 
     os.makedirs(out_dir, exist_ok=True)
@@ -176,14 +200,20 @@ def snapshot_derivatives(
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d + ".old", ignore_errors=True)
         ds.write_parquet(tmp)
         # row count from parquet footers (metadata-only read, no data decode)
         out[name] = sum(
             pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(os.path.join(tmp, "*.parquet"))
         )
-        os.replace(tmp, d)  # atomic publish of the snapshot directory
+        # the live snapshot stays readable until the replacement is fully
+        # written: move it aside only now, swap in, then drop the old copy —
+        # a mid-write crash leaves the previous snapshot published
+        if os.path.exists(d):
+            os.replace(d, d + ".old")
+        os.replace(tmp, d)
+        shutil.rmtree(d + ".old", ignore_errors=True)
     return out
 
 
@@ -341,6 +371,7 @@ def rebucket(
             "tick": tick_id,
             "through_seqno": last["through_seqno"],
             "applied_through_lsn": last["applied_through_lsn"],
+            "wal_through_lsn": LakeLineage.wal_watermark(last),
             "num_buckets": nb,
             "segments": [],
             "events": 0,
@@ -386,7 +417,11 @@ def compact_tombstones(
     if last is None:
         raise RuntimeError("empty lake")
     if keep_after_lsn is None:
-        watermark = last["applied_through_lsn"] - lateness_bound
+        # derive from the TRUE WAL high-LSN: applied_through_lsn is inflated
+        # by lsn_gap per erasure tick, which would silently zero (then turn
+        # negative) the lateness protection and let late lower-LSN updates
+        # resurrect erased keys
+        watermark = LakeLineage.wal_watermark(last) - lateness_bound
     else:
         watermark = keep_after_lsn
     tick_id = last["tick"] + 1
@@ -421,6 +456,7 @@ def compact_tombstones(
             "tick": tick_id,
             "through_seqno": last["through_seqno"],
             "applied_through_lsn": last["applied_through_lsn"],
+            "wal_through_lsn": LakeLineage.wal_watermark(last),
             "num_buckets": last.get("num_buckets"),
             "segments": [],
             "events": 0,

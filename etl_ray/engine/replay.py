@@ -517,6 +517,7 @@ class ReplayEngine:
             )
 
         prev_hi = last["applied_through_lsn"] if last else 0
+        prev_wal = LakeLineage.wal_watermark(last) if last else 0
         self.lineage.publish_tick(
             {
                 "tick": tick_id,
@@ -524,6 +525,9 @@ class ReplayEngine:
                 # never regress the watermark (an erasure tick may sit above
                 # the log's own max LSN)
                 "applied_through_lsn": max(prev_hi, max(s["max_lsn"] for s in segs)),
+                # true WAL high-LSN, unaffected by erasure inflation — the
+                # compaction/lateness watermark derives from THIS
+                "wal_through_lsn": max(prev_wal, max(s["max_lsn"] for s in segs)),
                 "segments": [s["seqno"] for s in segs],
                 "events": events,
                 "buckets_touched": len(manifests),

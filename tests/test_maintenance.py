@@ -118,3 +118,112 @@ def test_chained_maintenance_ops(ray_session, small_wal, tmp_path):
     after = _live_df(lake)
     gone = set(ks)
     assert not any((r, p) in gone for r, p in zip(after["repo"], after["path"]))
+
+
+def test_compaction_watermark_survives_erasure(ray_session, small_wal, tmp_path):
+    """Erasure inflates applied_through_lsn by lsn_gap; the compaction
+    watermark must derive from the TRUE WAL high-LSN (wal_through_lsn) or a
+    single erasure zeroes the lateness protection and collects tombstones
+    that still shadow possible late lower-LSN updates."""
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.maintenance import compact_tombstones
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    with_tombs = final_state(lake, include_tombstones=True).to_pandas()
+    assert int(with_tombs["deleted"].sum()) > 0
+
+    lin = LakeLineage(lake)
+    wal_hi_before = LakeLineage.wal_watermark(lin.last_tick())
+
+    ks = [tuple(r) for r in _live_df(lake)[["repo", "path"]].head(2).to_numpy()]
+    erase_keys(lake, [ks[0]])
+    erase_keys(lake, [ks[1]])  # two erasures: pre-fix watermark goes NEGATIVE
+
+    last = lin.last_tick()
+    # erasure ticks must not advance the WAL watermark
+    assert LakeLineage.wal_watermark(last) == wal_hi_before
+    assert last["applied_through_lsn"] > wal_hi_before
+
+    # default lateness bound exceeds this small log's LSN range: every WAL
+    # tombstone is still within possible-lateness reach → none collected
+    res = compact_tombstones(lake)
+    assert res["tombstones_removed"] == 0, (
+        "erasure-inflated watermark collected protected tombstones"
+    )
+
+
+def test_erase_map_field_validation(ray_session, small_wal, tmp_path):
+    """--map-field for a non-key column must be an explicit field=value pair;
+    a bare unknown field name would silently remove zero mapping rows."""
+    import pytest as _pytest
+
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        pseudonym_fields=["repo"],
+    )
+    eng.replay_all()
+    victim = tuple(_live_df(lake)[["repo", "path"]].iloc[0])
+
+    with _pytest.raises(ValueError, match="map-field"):
+        erase_keys(lake, [victim], erase_map_fields=["lang"])
+
+    # explicit field=value works for the same column
+    res = erase_keys(lake, [victim], erase_map_fields=[f"repo={victim[0]}"])
+    assert res["map_rows_removed"] >= 1
+
+
+def test_agglog_legacy_day_layout_read(ray_session, small_wal, tmp_path):
+    """A pre-round-2 lake stores agg-log rows under day=<d>/t*.parquet;
+    agglog_day_rgs must surface them (as whole-file reads, rg=-1) so
+    continuing replay doesn't silently under-count legacy days."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine.aggregates import read_agg, recompute_days_from_agglog
+    from etl_ray.engine.lineage import LakeLineage
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    lin = LakeLineage(lake)
+    before = (
+        read_agg(lin, "lang_daily_agg")
+        .to_pandas()
+        .sort_values(["day", "lang"])
+        .reset_index(drop=True)
+    )
+    days = sorted(before["day"].unique())
+
+    # downgrade the newest indexed agg-log file to the legacy layout: split
+    # its day row-groups into day=<d>/ whole files and drop the index
+    import glob as _glob
+    import json as _json
+
+    idx_path = sorted(_glob.glob(os.path.join(lake, "_agglog", "t*.json")))[-1]
+    pq_path = idx_path[: -len(".json")] + ".parquet"
+    with open(idx_path) as f:
+        day_rgs = _json.load(f)
+    pf = pq.ParquetFile(pq_path)
+    for d, rg in day_rgs.items():
+        legacy_dir = os.path.join(lake, "_agglog", f"day={d}")
+        os.makedirs(legacy_dir, exist_ok=True)
+        pq.write_table(
+            pf.read_row_group(rg), os.path.join(legacy_dir, "t000000-legacy.parquet")
+        )
+    pf.close()
+    os.remove(idx_path)
+    os.remove(pq_path)
+
+    rgs = lin.agglog_day_rgs(days[0])
+    assert any(rg == -1 for _, rg in rgs), "legacy files not surfaced"
+
+    recompute_days_from_agglog(lin, days)
+    after = (
+        read_agg(lin, "lang_daily_agg")
+        .to_pandas()
+        .sort_values(["day", "lang"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
