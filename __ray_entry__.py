@@ -333,6 +333,35 @@ def _cdc_oracle_sql() -> dict[str, str]:
     }
 
 
+# shared CTE: sha-derived ±1 sign hyperplanes (8 planes × 64 dims, seed 5)
+# over floor(v·1024) integer quantization — bit-identical to
+# etl_ray.ops.similarity.lsh_plane_signs / lsh_codes
+_LSH_CODES_CTE = """
+            WITH planes AS (
+              SELECT p, d,
+                     CASE WHEN strpos('01234567',
+                              substr(sha256('lsh:5:' || p || ':' || d), 1, 1)) > 0
+                          THEN 1 ELSE -1 END AS s
+              FROM range(8) tp(p), range(64) td(d)
+            ),
+            qv AS (
+              SELECT e.vec_id, td.d,
+                     CAST(floor(CAST(e.embedding[CAST(td.d AS INT) + 1] AS DOUBLE)
+                                * 1024) AS BIGINT) AS q
+              FROM embeddings e, range(64) td(d)
+            ),
+            dots AS (
+              SELECT qv.vec_id, planes.p, SUM(qv.q * planes.s) AS dot
+              FROM qv JOIN planes USING (d) GROUP BY qv.vec_id, planes.p
+            ),
+            codes AS (
+              SELECT vec_id,
+                     CAST(SUM(CASE WHEN dot > 0 THEN 1 << CAST(p AS INT)
+                              ELSE 0 END) AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_cdc_oracle_sql(),
@@ -674,6 +703,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, jaccard, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # --- emb-LSH family: the sha-derived ±1 hyperplanes over
+        # floor(v·1024) integer quantization make the codes EXACT integer
+        # arithmetic in both engines (etl_ray/ops/similarity.py
+        # lsh_plane_signs/lsh_codes) — the CTE below reproduces them
+        # bit-for-bit in DuckDB
+        "emb_lsh_buckets": f"""
+            {_LSH_CODES_CTE}
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM codes GROUP BY bucket ORDER BY bucket
+        """,
+        "emb_lsh_ann": f"""
+            {_LSH_CODES_CTE},
+            q AS (SELECT c.vec_id AS query_id, c.bucket AS qcode, e.embedding AS qe
+                  FROM codes c JOIN embeddings e USING (vec_id)
+                  WHERE c.vec_id < 5),
+            -- multi-probe: candidate iff Hamming(code, qcode) <= 1
+            s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                         ROUND(list_cosine_similarity(
+                             q.qe::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+                  FROM q JOIN codes c
+                    ON xor(q.qcode, c.bucket) IN (0,1,2,4,8,16,32,64,128)
+                   AND c.vec_id <> q.query_id
+                  JOIN embeddings e ON e.vec_id = c.vec_id),
+            r AS (SELECT *, CAST(row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                      AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank, cos FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "emb_cosine_dup_pairs": f"""
+            {_LSH_CODES_CTE},
+            sized AS (SELECT vec_id, bucket,
+                             COUNT(*) OVER (PARTITION BY bucket) AS n
+                      FROM codes),
+            -- deterministic salt-cap cells for oversized buckets (Knuth
+            -- multiplicative hash), mirroring bucket_pairs in similarity.py
+            cells AS (SELECT vec_id, bucket,
+                             CASE WHEN n <= 256 THEN CAST(0 AS BIGINT)
+                                  ELSE (vec_id * 2654435761) % 4294967296
+                                       % CAST(ceil(n / 256.0) AS BIGINT)
+                             END AS cell
+                      FROM sized),
+            p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         ROUND(list_cosine_similarity(
+                             ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]),
+                             6) AS cos
+                  FROM cells a
+                  JOIN cells b ON a.bucket = b.bucket AND a.cell = b.cell
+                              AND a.vec_id < b.vec_id
+                  JOIN embeddings ea ON ea.vec_id = a.vec_id
+                  JOIN embeddings eb ON eb.vec_id = b.vec_id)
+            SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.9
+            ORDER BY vec_a, vec_b
         """,
         "emb_knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe

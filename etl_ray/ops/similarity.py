@@ -95,29 +95,56 @@ def emb_knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 5) -> pd.DataFr
     return df.reset_index(drop=True)[["query_id", "neighbor_id", "rank", "cos"]]
 
 
+def lsh_plane_signs(n_planes: int, dim: int, seed: int = 5) -> np.ndarray:
+    """±1 (Rademacher) hyperplane components derived from sha256 — a valid
+    sign-LSH family, chosen over Gaussian planes because the construction is
+    reproducible in ANSI SQL (DuckDB ``sha256``), giving the whole emb-LSH
+    query family a driver oracle. Sign = +1 iff the digest's first hex
+    nibble < 8."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.sha256(f"lsh:{seed}:{p}:{d}".encode()).hexdigest()
+            out[p, d] = 1 if int(h[0], 16) < 8 else -1
+    return out
+
+
+def lsh_codes(m: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """LSH code per row of ``m`` (float64): quantize to ``floor(v·1024)``
+    int64 first so the dot products are EXACT integer arithmetic — bit-for-
+    bit reproducible in DuckDB regardless of summation order (a float dot
+    near 0 could flip a sign bit between engines)."""
+    q = np.floor(m * 1024.0).astype(np.int64)  # ×1024 is exact (binary shift)
+    dots = q @ signs.T  # (B, n_planes) int64, exact
+    code = np.zeros(len(m), dtype=np.int64)
+    for i in range(signs.shape[0]):
+        code |= (dots[:, i] > 0).astype(np.int64) << i
+    return code
+
+
 class _LSHCoder:
-    def __init__(self, planes_ref):
-        self.planes = ray.get(planes_ref)  # (n_planes, dim) float64
+    def __init__(self, signs_ref):
+        self.signs = ray.get(signs_ref)  # (n_planes, dim) int64 ±1
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
-        bits = (m @ self.planes.T) > 0  # (B, n_planes)
-        code = np.zeros(len(m), dtype=np.int64)
-        for i in range(self.planes.shape[0]):
-            code |= bits[:, i].astype(np.int64) << i
-        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "bucket": code})
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "bucket": lsh_codes(m, self.signs)}
+        )
 
 
 def emb_lsh_buckets(sf_dir: str, n_planes: int = 8, seed: int = 5) -> pd.DataFrame:
     """Bucket histogram of the random-hyperplane LSH index (the ANN scale
-    path's partitioning stage)."""
+    path's partitioning stage). Driver-oracled: the sha-derived signs and
+    integer-quantized dots are replicated exactly in DuckDB SQL."""
     dim = _embedding_dim(sf_dir)
-    rng = np.random.RandomState(seed)
-    planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
+    signs_ref = ray.put(lsh_plane_signs(n_planes, dim, seed))
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     codes = ds.map_batches(
         _LSHCoder,
-        fn_constructor_args=(planes_ref,),
+        fn_constructor_args=(signs_ref,),
         batch_format="pandas",
         batch_size=4096,
         concurrency=(1, 4),
@@ -135,30 +162,26 @@ def emb_lsh_ann(
     ``emb_knn_bruteforce`` is asserted ≥0.6 in tests."""
     qids, q = _query_matrix(sf_dir, n_queries)
     dim = q.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    qbits = (q @ planes.T) > 0
-    qcodes = np.zeros(len(q), dtype=np.int64)
-    for i in range(n_planes):
-        qcodes |= qbits[:, i].astype(np.int64) << i
-    probe_sets = []
-    for c in qcodes:
-        probes = {int(c)} | {int(c ^ (1 << i)) for i in range(n_planes)}
-        probe_sets.append(probes)
-    ctx_ref = ray.put((qids, q / np.linalg.norm(q, axis=1, keepdims=True), planes, probe_sets, k))
+    signs = lsh_plane_signs(n_planes, dim, seed)
+    qcodes = lsh_codes(q, signs)
+    # multi-probe: the query's own code plus every Hamming-1 neighbor
+    probe_sets = np.stack(
+        [
+            np.concatenate(([c], [c ^ (1 << i) for i in range(n_planes)]))
+            for c in qcodes
+        ]
+    ).astype(np.int64)  # (Q, n_planes+1)
+    ctx_ref = ray.put((qids, q / np.linalg.norm(q, axis=1, keepdims=True), signs, probe_sets, k))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        qids_, qn, planes_, probes_, k_ = ray.get(ctx_ref)
+        qids_, qn, signs_, probes_, k_ = ray.get(ctx_ref)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
         vids = batch["vec_id"].to_numpy()
-        bits = (m @ planes_.T) > 0
-        code = np.zeros(len(m), dtype=np.int64)
-        for i in range(planes_.shape[0]):
-            code |= bits[:, i].astype(np.int64) << i
+        code = lsh_codes(m, signs_)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         rows = []
         for qi, qid in enumerate(qids_):
-            cand = np.array([j for j in range(len(m)) if int(code[j]) in probes_[qi] and vids[j] != qid])
+            cand = np.nonzero(np.isin(code, probes_[qi]) & (vids != qid))[0]
             if len(cand) == 0:
                 continue
             cos = np.round(qn[qi] @ mn[cand].T, 6)
@@ -283,37 +306,41 @@ class _LSHCoderWithVec(_LSHCoder):
 
 
 def emb_cosine_dup_pairs(
-    sf_dir: str, *, threshold: float = 0.9, n_planes: int = 8, seed: int = 5
+    sf_dir: str,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 5,
+    max_bucket: int = 256,
 ) -> pd.DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors
-    (random hyperplanes), compare only within buckets (+Hamming-1 probes
-    handled by duplicate-tolerant pair set), verify exact cosine ≥
-    threshold. The dedup-by-embedding member of the dedup family.
+    (sha-derived sign hyperplanes — DuckDB-reproducible), compare only
+    within buckets, verify exact cosine ≥ threshold. The dedup-by-embedding
+    member of the dedup family.
 
     The vector column rides the bucket groupby (``_LSHCoderWithVec``), so
     each group compares only vectors it owns — data volume through the
-    shuffle is one row per vector, never a global broadcast."""
+    shuffle is one row per vector, never a global broadcast. Degenerate
+    buckets (a near-duplicate-heavy corpus collapses into few codes) are
+    salt-capped into deterministic ~``max_bucket``-sized cells — pair cost
+    stays O(n·max_bucket) instead of O(n²); cross-cell pairs in an
+    oversized bucket are traded away for bounded cost (documented recall
+    loss; the deterministic cell split is part of the op's contract and is
+    replicated in the oracle SQL)."""
     dim = _embedding_dim(sf_dir)
-    rng = np.random.RandomState(seed)
-    planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
+    signs_ref = ray.put(lsh_plane_signs(n_planes, dim, seed))
     ds = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     codes = ds.map_batches(
         _LSHCoderWithVec,
-        fn_constructor_args=(planes_ref,),
+        fn_constructor_args=(signs_ref,),
         batch_format="pandas",
         batch_size=4096,
         concurrency=(1, 4),
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        ids = g["vec_id"].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    def _cell_pairs(ids: np.ndarray, m: np.ndarray) -> pd.DataFrame | None:
+        if len(ids) < 2:
+            return None
         sim = np.round(m @ m.T, 6)
         ia, ib = np.triu_indices(len(ids), k=1)
         keep = sim[ia, ib] >= threshold
@@ -324,6 +351,38 @@ def emb_cosine_dup_pairs(
                 "cos": sim[ia[keep], ib[keep]],
             }
         )
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cos": pd.Series(dtype="float64"),
+        }
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if len(ids) <= max_bucket:
+            out = _cell_pairs(ids, m)
+            return out if out is not None else empty
+        # salt-cap: deterministic Knuth-hash cells (same trick as the text
+        # MinHash-LSH twin, dedup_text._bucket_ids_pairs)
+        nsub = int(np.ceil(len(ids) / max_bucket))
+        cell = (
+            (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+        ) % np.uint64(nsub)
+        frames = []
+        for s in range(nsub):
+            sel = cell == np.uint64(s)
+            out = _cell_pairs(ids[sel], m[sel])
+            if out is not None and len(out):
+                frames.append(out)
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     out = codes.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     df = out.to_pandas()

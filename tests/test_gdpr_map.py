@@ -88,3 +88,32 @@ def test_erase_removes_map_rows(ray_session, small_wal, tmp_path):
     assert res["map_rows_removed"] == 1
     m = gdpr.read_map(lake).to_pandas()
     assert victim_repo not in set(m["original"])
+
+
+def test_map_high_cardinality_distributed(ray_session, small_wal, tmp_path):
+    """PII fields are near-unique per user — the map MERGE must stay correct
+    when map cardinality ≈ event count (the pairs are bucket-shuffled to
+    per-bucket merge tasks; the driver sees only counters)."""
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        aggregate=False, pseudonym_fields=["path"],  # ~2.4k distinct values
+    )
+    eng.replay_all(segments_per_tick=2)
+
+    import duckdb as _duckdb
+
+    files = ", ".join(f"'{f}'" for f in small_wal.segment_files)
+    con = _duckdb.connect()
+    exp = con.execute(
+        f"""SELECT path AS original, MIN(lsn) AS first_lsn, MAX(lsn) AS last_lsn
+        FROM read_parquet([{files}], union_by_name=true)
+        WHERE path IS NOT NULL GROUP BY path ORDER BY path"""
+    ).df()
+    con.close()
+
+    m = gdpr.read_map(lake).to_pandas().sort_values("original").reset_index(drop=True)
+    assert len(m) == len(exp)
+    assert m["original"].is_unique
+    assert (m["first_lsn"].to_numpy() == exp["first_lsn"].to_numpy()).all()
+    assert (m["last_lsn"].to_numpy() == exp["last_lsn"].to_numpy()).all()

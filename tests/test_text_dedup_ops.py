@@ -248,3 +248,45 @@ def test_emb_cosine_dup_pairs_planted(ray_session, planted_embeddings):
     recall = len(found & planted) / len(planted)
     assert recall >= 0.5, f"embedding near-dup recall {recall}"
     assert (pairs["cos"] >= 0.9).all()
+
+
+def test_emb_cosine_dup_pairs_degenerate_bucket_capped(ray_session, tmp_path):
+    """An all-near-duplicate corpus collapses into one LSH bucket; the
+    deterministic salt-cap must bound per-group pair cost to
+    O(n·max_bucket) while still surfacing plenty of true pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.ops.similarity import emb_cosine_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal(64).astype(np.float32)
+    n = 600
+    vecs = base + 0.01 * rng.standard_normal((n, 64)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+
+    pairs = emb_cosine_dup_pairs(str(d), threshold=0.9, max_bucket=100)
+    # bounded: cells of ≤~100 ids → at most nsub · C(ceil(n/nsub), 2) pairs,
+    # far below the uncapped C(600, 2) = 179,700
+    # (1.5× slack: the hash cells are near- but not perfectly balanced)
+    nsub = int(np.ceil(n / 100))
+    balanced = nsub * (int(np.ceil(n / nsub)) * (int(np.ceil(n / nsub)) - 1) // 2)
+    assert len(pairs) <= 1.5 * balanced
+    assert len(pairs) < 0.5 * n * (n - 1) // 2
+    # still finds a meaningful number of true near-dup pairs
+    assert len(pairs) > n  # every cell is dense with true pairs
+    assert (pairs["cos"] >= 0.9).all()
+    # deterministic
+    pairs2 = emb_cosine_dup_pairs(str(d), threshold=0.9, max_bucket=100)
+    pd.testing.assert_frame_equal(pairs, pairs2)
