@@ -333,6 +333,102 @@ def _cdc_oracle_sql() -> dict[str, str]:
     }
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of ``ops/dedup_text.SimHasher``: sha-derived 64-bit
+    token hashes (first 16 hex chars), per-occurrence ±1 bit votes, bit 63
+    handled via two's complement so the BIGINT result matches numpy's
+    ``view(int64)``."""
+    return r"""
+        WITH toks AS (
+          SELECT doc_id, w, COUNT(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS w
+            FROM documents) GROUP BY doc_id, w),
+        uhh AS (SELECT w, substr(sha256('sh:11:' || w), 1, 16) AS h
+                FROM (SELECT DISTINCT w FROM toks)),
+        bits AS (SELECT w, tb.b,
+                 ((strpos('0123456789abcdef', substr(h, CAST(16 - tb.b // 4 AS INT), 1)) - 1)
+                  >> CAST(tb.b % 4 AS INT)) & 1 AS bit
+                 FROM uhh, range(64) tb(b)),
+        votes AS (SELECT t.doc_id, bits.b, SUM(t.cnt * (2 * bits.bit - 1)) AS v
+                  FROM toks t JOIN bits USING (w) GROUP BY t.doc_id, bits.b)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 AND b < 63 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)
+                  - SUM(CASE WHEN v > 0 AND b = 63 THEN CAST(1 AS BIGINT) << 62 ELSE 0 END) * 2
+                AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    """DuckDB replica of ``ops/dedup_text.doc_minhash_lsh_pairs``: the
+    sha-derived permutation/band constants are computed here and inlined as
+    literals; signatures use HUGEINT to emulate numpy's uint64 wraparound
+    ((a·x + b) mod 2^64 mod (2^61−1)); band/cell partitioning, pair dedup
+    and the exact shingle-hash Jaccard verification mirror the Ray pipeline
+    exactly (defaults: 64 perms, 16×4 bands, max_bucket 64, threshold
+    0.5)."""
+    from etl_ray.ops.dedup_text import band_hash_constants, minhash_perm_constants
+
+    a, b = minhash_perm_constants(64, 7)
+    c = band_hash_constants(16, 4, 7)
+    perms = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+    bandc = ", ".join(
+        f"({bi}, {r}, {int(c[bi, r])})" for bi in range(16) for r in range(4)
+    )
+    xh_expr = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(gh, {j}, 1)) - 1 AS BIGINT) * {16 ** (8 - j)}"
+        for j in range(1, 9)
+    )
+    return rf"""
+        WITH words AS (
+          SELECT doc_id, string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        gr AS (
+          SELECT doc_id,
+                 ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2] AS g
+          FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM words WHERE len(ws) >= 3)
+          UNION ALL
+          SELECT doc_id, array_to_string(ws, ' ') AS g FROM words WHERE len(ws) < 3),
+        sh AS (
+          SELECT DISTINCT doc_id, xh FROM (
+            SELECT doc_id, {xh_expr} AS xh FROM (SELECT doc_id, sha256(g) AS gh FROM gr))),
+        perms(perm, a, bb) AS (VALUES {perms}),
+        sigs AS (
+          SELECT doc_id, perm,
+                 MIN(((CAST(a AS HUGEINT) * xh + bb) % 18446744073709551616) % 2305843009213693951) AS s
+          FROM sh, perms GROUP BY doc_id, perm),
+        bandc(band, r, c) AS (VALUES {bandc}),
+        folded AS (
+          SELECT doc_id, perm // 4 AS band, perm % 4 AS r,
+                 xor(CAST(s AS BIGINT), CAST(s AS BIGINT) >> 31) & 2147483647 AS t
+          FROM sigs),
+        bh AS (SELECT doc_id, folded.band, SUM(t * c) AS band_hash
+               FROM folded JOIN bandc ON bandc.band = folded.band AND bandc.r = folded.r
+               GROUP BY doc_id, folded.band),
+        bsz AS (SELECT doc_id, band, band_hash,
+                       COUNT(*) OVER (PARTITION BY band, band_hash) AS n FROM bh),
+        cells AS (SELECT doc_id, band, band_hash,
+                  CASE WHEN n <= 64 THEN CAST(0 AS BIGINT)
+                       ELSE (doc_id * 2654435761) % 4294967296 % CAST(ceil(n / 64.0) AS BIGINT)
+                  END AS cell FROM bsz),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM cells x JOIN cells y
+                   ON x.band = y.band AND x.band_hash = y.band_hash AND x.cell = y.cell
+                  AND x.doc_id < y.doc_id),
+        sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+        inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS i
+                  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                            JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.xh = sa.xh
+                  GROUP BY cand.doc_a, cand.doc_b),
+        j AS (SELECT doc_a, doc_b,
+                     floor(CAST(i AS DOUBLE) / (za.ns + zb.ns - i) * 1e6 + 0.5) / 1e6 AS jaccard
+              FROM inter JOIN sizes za ON za.doc_id = doc_a
+                         JOIN sizes zb ON zb.doc_id = doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+    """
+
+
 # shared CTE: sha-derived ±1 sign hyperplanes (8 planes × 64 dims, seed 5)
 # over floor(v·1024) integer quantization — bit-identical to
 # etl_ray.ops.similarity.lsh_plane_signs / lsh_codes
@@ -704,6 +800,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, doc_id, jaccard, rank FROM r
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
+        # lang-ID: profiles (top-300 trigrams of the 50 smallest doc_ids per
+        # lang) and the integer-quantized overlap argmax are replicated
+        # exactly — scoring terms quantize to a 1e-9 grid and sum as ints in
+        # BOTH engines, so float summation order cannot flip the argmax
+        "doc_lang_id": r"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS s,
+                     ' ' || regexp_replace(lower(substr(text, 1, 2000)), '\s+', ' ', 'g') || ' ' AS sq
+              FROM documents),
+            samp AS (SELECT doc_id, lang, s FROM (
+                SELECT doc_id, lang, s,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM norm)
+              WHERE rn <= 50),
+            pg AS (
+              SELECT lang, substr(s, CAST(i AS INT), 3) AS g, COUNT(*) AS c
+              FROM (SELECT lang, s, unnest(range(1, len(s) - 1)) AS i FROM samp)
+              GROUP BY lang, g),
+            topg AS (SELECT lang, g, c,
+                            row_number() OVER (PARTITION BY lang ORDER BY c DESC, g) AS rn
+                     FROM pg),
+            prof AS (SELECT lang, g,
+                            CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY lang) AS p
+                     FROM topg WHERE rn <= 300),
+            dg AS (
+              SELECT doc_id, substr(sq, CAST(i AS INT), 3) AS g, COUNT(*) AS c
+              FROM (SELECT doc_id, sq, unnest(range(1, len(sq) - 1)) AS i FROM norm)
+              GROUP BY doc_id, g),
+            dt AS (SELECT doc_id, greatest(len(sq) - 2, 1) AS total FROM norm),
+            scores AS (SELECT dg.doc_id, prof.lang,
+                SUM(CAST(floor(least(CAST(dg.c AS DOUBLE) / dt.total, prof.p) * 1e9 + 0.5) AS BIGINT)) AS s
+              FROM dg JOIN dt USING (doc_id) JOIN prof ON prof.g = dg.g
+              GROUP BY dg.doc_id, prof.lang),
+            langs AS (SELECT DISTINCT lang FROM samp),
+            allsc AS (SELECT n.doc_id, l.lang, COALESCE(sc.s, 0) AS s
+              FROM (SELECT doc_id FROM norm) n CROSS JOIN langs l
+              LEFT JOIN scores sc ON sc.doc_id = n.doc_id AND sc.lang = l.lang),
+            pred AS (SELECT doc_id, lang AS pred_lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+                FROM allsc) WHERE rn = 1)
+            SELECT d.doc_id, d.lang, p.pred_lang, (p.pred_lang = d.lang) AS match
+            FROM documents d JOIN pred p USING (doc_id) ORDER BY doc_id
+        """,
+        "doc_simhash": _simhash_oracle_sql(),
+        "doc_minhash_lsh_pairs": _minhash_lsh_oracle_sql(),
         # --- emb-LSH family: the sha-derived ±1 hyperplanes over
         # floor(v·1024) integer quantization make the codes EXACT integer
         # arithmetic in both engines (etl_ray/ops/similarity.py

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
+
 
 import numpy as np
 import pandas as pd
@@ -84,25 +84,53 @@ def doc_dup_groups(sf_dir: str) -> pd.DataFrame:
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles → stable uint64 hashes (crc32-seeded)."""
+    """Word k-gram shingles → stable 32-bit hashes (first 8 hex chars of
+    sha256). sha-derived rather than crc32 so the DuckDB oracle can
+    recompute the exact values (``sha256`` is ANSI-available; crc32 is
+    not)."""
     words = re.sub(r"\s+", " ", text.lower()).split(" ")
     if len(words) < k:
         grams = [" ".join(words)]
     else:
         grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     return np.unique(
-        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
+        np.array(
+            [int(hashlib.sha256(g.encode()).hexdigest()[:8], 16) for g in grams],
+            dtype=np.uint64,
+        )
     )
 
 
+def minhash_perm_constants(n_perm: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) permutation constants derived from sha256 — deterministic AND
+    inlinable as literals into the DuckDB oracle SQL. a ∈ [1, p-1],
+    b ∈ [0, p-1] with p = 2^61-1."""
+    a = np.array(
+        [
+            int(hashlib.sha256(f"mh:{seed}:{i}:a".encode()).hexdigest()[:15], 16)
+            % (_MERSENNE - 1)
+            + 1
+            for i in range(n_perm)
+        ],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [
+            int(hashlib.sha256(f"mh:{seed}:{i}:b".encode()).hexdigest()[:15], 16)
+            % _MERSENNE
+            for i in range(n_perm)
+        ],
+        dtype=np.uint64,
+    )
+    return a, b
+
+
 class MinHasher:
-    """Per-doc MinHash signatures; permutation parameters seeded once per
+    """Per-doc MinHash signatures; permutation parameters computed once per
     actor (the stateful-stage pattern)."""
 
     def __init__(self, n_perm: int = 64, seed: int = 7):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
+        self.a, self.b = minhash_perm_constants(n_perm, seed)
         self.n_perm = n_perm
 
     def signature(self, text: str) -> np.ndarray:
@@ -123,6 +151,23 @@ class MinHasher:
         )
 
 
+def band_hash_constants(bands: int, rows_per_band: int, seed: int = 7) -> np.ndarray:
+    """(bands, rows_per_band) sha-derived multipliers in [1, 2^28) — small
+    enough that fold31·c products stay int64-exact, and inlinable as
+    literals into the oracle SQL."""
+    return np.array(
+        [
+            [
+                int(hashlib.sha256(f"band:{seed}:{b}:{r}".encode()).hexdigest()[:7], 16)
+                | 1
+                for r in range(rows_per_band)
+            ]
+            for b in range(bands)
+        ],
+        dtype=np.uint64,
+    )
+
+
 def _band_rows(sig_df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataFrame:
     """Explode signatures to (doc_id, band, band_hash) rows — fully
     vectorized: one reshape over the stacked signature matrix + a
@@ -138,16 +183,18 @@ def _band_rows(sig_df: pd.DataFrame, bands: int, rows_per_band: int) -> pd.DataF
         )
     sigs = np.stack(sig_df["sig"].to_numpy()).astype(np.uint64)
     chunks = sigs[:, : bands * rows_per_band].reshape(n, bands, rows_per_band)
-    prime = np.uint64(1099511628211)  # FNV prime; wraps mod 2^64
-    h = np.full((n, bands), np.uint64(14695981039346656037))
-    for r in range(rows_per_band):
-        h = (h ^ chunks[:, :, r]) * prime
-    h ^= h >> np.uint64(29)
+    # band hash = Σ_r fold31(sig_r) · c_{band,r}: 31-bit folds × 28-bit
+    # sha-derived constants keep every product < 2^59 and the 4-term sum
+    # < 2^61 — exact in int64 AND in DuckDB BIGINT (the FNV-mod-2^64 hash it
+    # replaces needed uint64 wraparound, which SQL can't express cheaply)
+    folded = (chunks ^ (chunks >> np.uint64(31))) & np.uint64(0x7FFFFFFF)
+    c = band_hash_constants(bands, rows_per_band)  # (bands, rows) < 2^28
+    h = (folded * c[None, :, :]).sum(axis=2)  # exact, < 2^61
     return pd.DataFrame(
         {
             "doc_id": np.repeat(sig_df["doc_id"].to_numpy().astype("int64"), bands),
             "band": np.tile(np.arange(bands, dtype="int64"), n),
-            "band_hash": h.reshape(-1).view(np.int64),
+            "band_hash": h.reshape(-1).astype(np.int64),
         }
     )
 
@@ -328,7 +375,9 @@ def doc_minhash_lsh_pairs(
             {
                 "doc_a": q["other"].to_numpy().astype("int64"),
                 "doc_b": q["key"].to_numpy().astype("int64"),
-                "jaccard": np.round(jac, 6),
+                # micro-grid quantization — identical in the DuckDB oracle
+                # (np.round differs from SQL ROUND in the last ULP)
+                "jaccard": np.floor(jac * 1e6 + 0.5) / 1e6,
             }
         )
         return out[out["jaccard"] >= threshold]
@@ -393,15 +442,20 @@ class SimHasher:
         self._memo: dict[str, int] = {}
 
     def _token_hashes(self, uniq_tokens: np.ndarray) -> np.ndarray:
+        """64-bit token hash = first 16 hex chars of sha256('sh:<seed>:<w>')
+        — sha-derived so the DuckDB oracle recomputes identical bits (crc32
+        has no SQL equivalent); memoized per actor across batches."""
         memo = self._memo
         seed = self.seed
         out = np.empty(len(uniq_tokens), dtype=np.uint64)
         for i, w in enumerate(uniq_tokens):
             v = memo.get(w)
             if v is None:
-                v = memo[w] = zlib.crc32(f"{seed}:{w}".encode())
+                v = memo[w] = int(
+                    hashlib.sha256(f"sh:{seed}:{w}".encode()).hexdigest()[:16], 16
+                )
             out[i] = v
-        return out * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
+        return out
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:

@@ -152,17 +152,25 @@ def _trigram_counts(text: str, counts: dict) -> None:
 
 
 def _build_lang_profiles(sf_dir: str, sample_per_lang: int = 50, top: int = 300):
-    """Driver-side profile build from a deterministic per-lang sample; the
-    result is the broadcast 'model' (ST6 analog: GeoIP mmdb loaded per actor).
+    """Profile build from a deterministic per-lang sample (the smallest
+    ``sample_per_lang`` doc_ids per lang); the result is the broadcast
+    'model' (ST6 analog: GeoIP mmdb loaded per actor).
 
-    Two pruned reads instead of a whole-table driver materialization: the
-    narrow (doc_id, lang) projection picks the sample ids, then only those
-    rows' texts are decoded (row filter pushed into the parquet scan)."""
+    Distributed sample selection: each batch emits only its own smallest
+    ``sample_per_lang`` ids per lang (partial top-k — bounded per batch),
+    the driver merges those tiny partials, then only the winning rows'
+    texts are decoded (row filter pushed into the parquet scan). The whole
+    (doc_id, lang) projection never lands on the driver."""
     import pyarrow.dataset as pads
 
-    ids_df = read_arrow(sf_dir, "documents", ["doc_id", "lang"]).to_pandas()
+    ids_ds = read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial_sample(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("lang").head(sample_per_lang)
+
+    cand = ids_ds.map_batches(partial_sample, batch_format="pandas").to_pandas()
     sample_ids = (
-        ids_df.sort_values("doc_id").groupby("lang").head(sample_per_lang)["doc_id"]
+        cand.sort_values("doc_id").groupby("lang").head(sample_per_lang)["doc_id"]
     )
     t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "lang", "text"],
@@ -193,9 +201,16 @@ class LangID:
             counts: dict = {}
             _trigram_counts(txt[:2000], counts)
             total = sum(counts.values()) or 1
-            best, best_s = "", -1.0
+            best, best_s = "", -1
             for lang, prof in sorted(self.profiles.items()):
-                s = sum(min(c / total, prof.get(g, 0.0)) for g, c in counts.items())
+                # integer-quantized overlap terms (1e-9 grid) summed as
+                # ints: the score — and therefore the argmax — is exactly
+                # reproducible in the DuckDB oracle regardless of float
+                # summation order; ties break to the first (asc) lang
+                s = sum(
+                    int(np.floor(min(c / total, prof.get(g, 0.0)) * 1e9 + 0.5))
+                    for g, c in counts.items()
+                )
                 if s > best_s:
                     best, best_s = lang, s
             preds.append(best)

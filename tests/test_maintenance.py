@@ -201,20 +201,23 @@ def test_agglog_legacy_day_layout_read(ray_session, small_wal, tmp_path):
     import glob as _glob
     import json as _json
 
-    idx_path = sorted(_glob.glob(os.path.join(lake, "_agglog", "t*.json")))[-1]
-    pq_path = idx_path[: -len(".json")] + ".parquet"
-    with open(idx_path) as f:
-        day_rgs = _json.load(f)
-    pf = pq.ParquetFile(pq_path)
-    for d, rg in day_rgs.items():
-        legacy_dir = os.path.join(lake, "_agglog", f"day={d}")
-        os.makedirs(legacy_dir, exist_ok=True)
-        pq.write_table(
-            pf.read_row_group(rg), os.path.join(legacy_dir, "t000000-legacy.parquet")
-        )
-    pf.close()
-    os.remove(idx_path)
-    os.remove(pq_path)
+    for n, idx_path in enumerate(
+        sorted(_glob.glob(os.path.join(lake, "_agglog", "t*.json")))
+    ):
+        pq_path = idx_path[: -len(".json")] + ".parquet"
+        with open(idx_path) as f:
+            day_rgs = _json.load(f)
+        pf = pq.ParquetFile(pq_path)
+        for d, rg in day_rgs.items():
+            legacy_dir = os.path.join(lake, "_agglog", f"day={d}")
+            os.makedirs(legacy_dir, exist_ok=True)
+            pq.write_table(
+                pf.read_row_group(rg),
+                os.path.join(legacy_dir, f"t000000-legacy{n}.parquet"),
+            )
+        pf.close()
+        os.remove(idx_path)
+        os.remove(pq_path)
 
     rgs = lin.agglog_day_rgs(days[0])
     assert any(rg == -1 for _, rg in rgs), "legacy files not surfaced"
