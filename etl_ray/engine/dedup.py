@@ -12,11 +12,13 @@ per-batch (pre-reduction before the shuffle — the skew/salt story, see
 ``partitioning``), then again per-bucket, then against held state, always
 yielding the same winners.
 
-Implementation: two hash-join passes (group-max LSN join, then group-max
-row-index join to break exact-LSN duplicate ties deterministically) —
-``pyarrow.Table.join`` moves only key columns through the hash table and
-``take``s winning rows, so large ``content`` values are never copied per-row
-in Python.
+Implementation: the dedup runs entirely on a NARROW projection
+``(keys, order, row-index)`` — group-max join picks the winning order value,
+a second group-max join breaks exact-order duplicate ties by last input
+position — and the winning row indices then ``take`` from the original
+table. Payload columns (``content``, nested ``meta`` structs, …) never enter
+the Acero hash join, which both keeps large strings out of the join build
+side and side-steps Acero's no-nested-payload restriction.
 """
 
 from __future__ import annotations
@@ -33,22 +35,23 @@ def last_writer(
     t: pa.Table, keys: list[str] | None = None, order: str = ORDER
 ) -> pa.Table:
     """One row per key: max ``order``; ties (replay dups) broken by last
-    physical row. Output column order == input column order."""
+    physical row. Output rows in input order; column order preserved."""
     keys = list(keys or KEYS)
     if t.num_rows == 0:
         return t
-    names = t.schema.names
-    winners = t.group_by(keys).aggregate([(order, "max")])
-    winners = winners.select(keys + [f"{order}_max"]).rename_columns(keys + [order])
     # _IDX is stamped on the INPUT (before any join) so the exact-order-key
     # tie-break reflects true input position — Acero join output order is not
     # guaranteed deterministic, so indexing after the join would make "last
     # physical row" depend on join internals.
-    t = t.append_column(_IDX, pa.array(np.arange(t.num_rows, dtype=np.int64)))
-    cand = t.join(winners, keys=keys + [order], join_type="inner")
+    narrow = t.select(keys + [order]).append_column(
+        _IDX, pa.array(np.arange(t.num_rows, dtype=np.int64))
+    )
+    winners = narrow.group_by(keys).aggregate([(order, "max")])
+    winners = winners.select(keys + [f"{order}_max"]).rename_columns(keys + [order])
+    cand = narrow.join(winners, keys=keys + [order], join_type="inner")
     if cand.num_rows > winners.num_rows:
         # exact-order-key duplicates: keep the last input occurrence
-        w2 = cand.group_by(keys).aggregate([(_IDX, "max")])
-        w2 = w2.select(keys + [f"{_IDX}_max"]).rename_columns(keys + [_IDX])
-        cand = cand.join(w2, keys=keys + [_IDX], join_type="inner")
-    return cand.select(names)
+        idx = cand.group_by(keys).aggregate([(_IDX, "max")])[f"{_IDX}_max"]
+    else:
+        idx = cand[_IDX]
+    return t.take(pa.array(np.sort(idx.to_numpy())))

@@ -35,7 +35,7 @@ def target_schema_for(segments: list[dict]) -> pa.Schema:
     schemas: list[pa.Schema] = []
     seen: set[tuple] = set()
     for s in segments:
-        key = (s.get("has_size_bytes", False),)
+        key = (s.get("has_size_bytes", False), s.get("has_meta", False))
         if key in seen:
             continue
         seen.add(key)
@@ -55,7 +55,9 @@ def read_segments(
     ``columns`` prunes at the read (only needed columns leave storage)."""
     groups: dict[tuple, list[str]] = {}
     for s in segments:
-        groups.setdefault((s.get("has_size_bytes", False),), []).append(s["file"])
+        groups.setdefault(
+            (s.get("has_size_bytes", False), s.get("has_meta", False)), []
+        ).append(s["file"])
 
     if columns is not None:
         target = pa.schema([f for f in target if f.name in set(columns)])

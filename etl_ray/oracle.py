@@ -45,10 +45,12 @@ def expected_final_state(wal: WalInfo, *, with_sha: bool = True) -> pa.Table:
         if any(s.get("has_size_bytes") for s in wal.segments)
         else "CAST(NULL AS BIGINT)"
     )
+    # second (struct-typed) evolution: meta struct<author, msg>
+    meta_expr = ", meta" if any(s.get("has_meta") for s in wal.segments) else ""
     tbl = con.execute(
         f"""
         SELECT repo, path, "commit", lang, content,
-               {size_expr} AS size_bytes, lsn{sha}
+               {size_expr} AS size_bytes, lsn{meta_expr}{sha}
         FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn

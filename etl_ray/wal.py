@@ -18,7 +18,10 @@ Semantics modeled on the reference ingest edge:
   engine's per-batch pre-reduction / salted sub-key handling);
 - additive **schema evolution**: events with ``lsn > evolve_lsn`` carry a new
   nullable ``size_bytes:int64`` column; earlier segment files do not have the
-  column at all (``insert_user_history.sql:15-42`` semantics on apply).
+  column at all (``insert_user_history.sql:15-42`` semantics on apply). A
+  second, struct-typed evolution (``meta: struct<author, msg>``, the analog of
+  the reference's nested ``params``/``ctx_*`` payload columns, SURVEY §1.2)
+  activates for ``lsn > evolve2_lsn`` when ``evolve2_at_frac < 1``.
 
 Everything is a pure function of ``seed`` + the size parameters: no
 wall-clock, no un-seeded randomness — so tests, the oracle and the engine all
@@ -65,6 +68,8 @@ class WalInfo:
     evolve_lsn: int  # size_bytes exists for lsn > evolve_lsn (0 = from start)
     segments: list[dict] = field(default_factory=list)
     params: dict | None = None  # generation parameters (cache validation)
+    evolve2_lsn: int | None = None  # meta struct exists for lsn > evolve2_lsn
+    # (None/== n_base_events: never — pre-struct manifests omit the field)
 
     @property
     def segment_files(self) -> list[str]:
@@ -78,6 +83,7 @@ class WalInfo:
                     "n_events": self.n_events,
                     "n_base_events": self.n_base_events,
                     "evolve_lsn": self.evolve_lsn,
+                    "evolve2_lsn": self.evolve2_lsn,
                     "segments": self.segments,
                     "params": self.params,
                 },
@@ -97,6 +103,7 @@ class WalInfo:
             evolve_lsn=d["evolve_lsn"],
             segments=d["segments"],
             params=d.get("params"),
+            evolve2_lsn=d.get("evolve2_lsn"),
         )
 
 
@@ -168,6 +175,11 @@ def _gen_chunk(
     content_out = content_s.mask(is_delete)
     size_bytes = content_out.str.len().astype("float64").to_numpy()
 
+    # struct-evolution payload (meta.author / meta.msg): pure function of
+    # (lsn, path); null on deletes like the other payload columns
+    author_s = pd.Series("dev" + pd.Series(lsn % 13).astype(str), dtype=object).mask(is_delete)
+    msg_s = ("edit " + path_s + " @" + pd.Series(lsn).astype(str)).mask(is_delete)
+
     base = pd.DataFrame(
         {
             "lsn": lsn,
@@ -179,6 +191,8 @@ def _gen_chunk(
             "content": content_out,
             "commit_ts": T0_US + lsn * step_us,
             "_size": size_bytes,
+            "_author": author_s,
+            "_msg": msg_s,
         }
     )
 
@@ -213,6 +227,7 @@ def generate_wal(
     dup_rate: float = 0.02,
     ooo_window: int = 2_000,
     evolve_at_frac: float = 0.6,
+    evolve2_at_frac: float = 1.0,
     segment_rows: int = 50_000,
     content_min: int = 64,
     content_max: int = 4_096,
@@ -240,6 +255,7 @@ def generate_wal(
         "dup_rate": dup_rate,
         "ooo_window": ooo_window,
         "evolve_at_frac": evolve_at_frac,
+        "evolve2_at_frac": evolve2_at_frac,
         "segment_rows": segment_rows,
         "content_min": content_min,
         "content_max": content_max,
@@ -269,9 +285,20 @@ def generate_wal(
         evolve_lsn = n
     else:
         evolve_lsn = int(n * evolve_at_frac)
+    if evolve2_at_frac <= 0:
+        evolve2_lsn = 0
+    elif evolve2_at_frac >= 1:
+        evolve2_lsn = n
+    else:
+        evolve2_lsn = int(n * evolve2_at_frac)
 
     info = WalInfo(
-        wal_dir=wal_dir, n_events=0, n_base_events=n, evolve_lsn=evolve_lsn, params=params
+        wal_dir=wal_dir,
+        n_events=0,
+        n_base_events=n,
+        evolve_lsn=evolve_lsn,
+        params=params,
+        evolve2_lsn=evolve2_lsn,
     )
 
     def flush_segment(seg: pd.DataFrame) -> None:
@@ -290,6 +317,18 @@ def generate_wal(
         if has_evo:
             sz = seg["_size"].where(seg["lsn"] > evolve_lsn, np.nan)
             cols["size_bytes"] = pa.Array.from_pandas(sz, type=pa.int64())
+        has_evo2 = bool((seg["lsn"] > evolve2_lsn).any())
+        if has_evo2:
+            live2 = (seg["lsn"] > evolve2_lsn).to_numpy() & seg["_author"].notna().to_numpy()
+            meta = pa.StructArray.from_arrays(
+                [
+                    pa.array(seg["_author"].where(live2), pa.string()),
+                    pa.array(seg["_msg"].where(live2), pa.string()),
+                ],
+                names=["author", "msg"],
+                mask=pa.array(~live2),
+            )
+            cols["meta"] = meta
         fpath = os.path.join(wal_dir, f"seg-{seq:08d}.parquet")
         # moderate row groups so readers can split a segment across tasks
         # (a single 1M-row default row group pins one file to one reader)
@@ -308,6 +347,7 @@ def generate_wal(
                 "max_lsn": int(seg["lsn"].max()),
                 "rows": len(seg),
                 "has_size_bytes": has_evo,
+                "has_meta": has_evo2,
                 "min_ts_us": int(seg["commit_ts"].min()),
                 "max_ts_us": int(seg["commit_ts"].max()),
             }

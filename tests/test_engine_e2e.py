@@ -148,3 +148,58 @@ def test_repo_live_files_snapshot(ray_session, small_wal, tmp_path):
     )
     exp = expected_repo_live_files(small_wal).to_pandas()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_struct_schema_evolution(ray_session, tmp_path):
+    """Second, struct-typed additive evolution (meta: struct<author, msg> —
+    the reference's nested params/ctx_* payload analog, SURVEY §1.2): old
+    rows backfill to null, new rows carry the struct, content sha256 for
+    pre-evolution winners is untouched, and the whole final state still
+    matches the DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal_evo2"),
+        seed=11,
+        n_events=9_000,
+        n_repos=15,
+        paths_per_repo=90,
+        dup_rate=0.03,
+        delete_rate=0.06,
+        ooo_window=400,
+        evolve_at_frac=0.3,
+        evolve2_at_frac=0.55,
+        segment_rows=2_000,
+        content_min=32,
+        content_max=256,
+        days_span=7,
+    )
+    assert 0 < wal.evolve2_lsn < wal.n_base_events
+    lake = str(tmp_path / "lake_evo2")
+    # multi-tick so at least one tick merges struct deltas INTO pre-struct
+    # committed state (unify_schemas promotion on the state side)
+    ReplayEngine(wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all(
+        segments_per_tick=2
+    )
+    got = final_state(lake, with_sha=True).take_all()
+    import pyarrow as pa
+
+    gt = pa.Table.from_pylist(got).sort_by([("repo", "ascending"), ("path", "ascending")])
+    exp = expected_final_state(wal).sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert "meta" in gt.schema.names and pa.types.is_struct(gt.schema.field("meta").type)
+    assert gt.num_rows == exp.num_rows
+    # flatten the struct for comparison (DuckDB and the engine agree per field)
+    for side, tbl in (("got", gt), ("exp", exp)):
+        assert tbl["meta"].null_count > 0, f"{side}: fixture must exercise null backfill"
+    for f in ("author", "msg"):
+        g = pc.struct_field(gt["meta"].combine_chunks(), f)
+        e = pc.struct_field(exp["meta"].combine_chunks(), f)
+        assert g.equals(e) or g.cast("string").to_pylist() == e.cast("string").to_pylist(), f
+    # null exactly iff the winning lsn predates the struct evolution
+    lsn = gt["lsn"].to_pandas()
+    meta_null = pc.is_null(gt["meta"].combine_chunks()).to_pandas()
+    assert ((lsn <= wal.evolve2_lsn) == meta_null).all()
+    # the core invariant holds with the struct column present
+    assert gt["content_sha256"].to_pylist() == exp["content_sha256"].to_pylist()
