@@ -45,31 +45,41 @@ from .source import read_segments, target_schema_for
 INTER_KEYS = ["day", "lang"]  # group key; vectorized per-repo agg inside
 
 
-def days_of_segments(segments: list[dict]) -> set[str]:
+def days_of_segments(segments: list[dict], tz_offset_minutes: int = 0) -> set[str]:
+    off = tz_offset_minutes * 60_000_000
     out: set[str] = set()
     for s in segments:
-        lo = pd.Timestamp(s["min_ts_us"], unit="us").normalize()
-        hi = pd.Timestamp(s["max_ts_us"], unit="us").normalize()
+        lo = pd.Timestamp(s["min_ts_us"] + off, unit="us").normalize()
+        hi = pd.Timestamp(s["max_ts_us"] + off, unit="us").normalize()
         for d in pd.date_range(lo, hi, freq="D"):
             out.add(d.strftime("%Y-%m-%d"))
     return out
 
 
-def segments_overlapping_days(wal: WalInfo, days: set[str], through_seqno: int) -> list[dict]:
+def segments_overlapping_days(
+    wal: WalInfo, days: set[str], through_seqno: int, tz_offset_minutes: int = 0
+) -> list[dict]:
     """All processed segments whose ts range overlaps any of ``days``."""
+    off = tz_offset_minutes * 60_000_000
     picked = []
     for s in wal.segments:
         if s["seqno"] > through_seqno:
             continue
-        lo = pd.Timestamp(s["min_ts_us"], unit="us").strftime("%Y-%m-%d")
-        hi = pd.Timestamp(s["max_ts_us"], unit="us").strftime("%Y-%m-%d")
+        lo = pd.Timestamp(s["min_ts_us"] + off, unit="us").strftime("%Y-%m-%d")
+        hi = pd.Timestamp(s["max_ts_us"] + off, unit="us").strftime("%Y-%m-%d")
         if any(lo <= d <= hi for d in days):
             picked.append(s)
     return picked
 
 
-def _project(batch: pa.Table) -> pa.Table:
-    day = pc.strftime(batch["commit_ts"], format="%Y-%m-%d")
+def _project(batch: pa.Table, tz_offset_minutes: int = 0) -> pa.Table:
+    """Narrow agg projection. ``tz_offset_minutes`` shifts the day boundary
+    to a per-table local midnight (the reference closes day partitions on the
+    app's local midnight — ``lib/utils.py:59-62``, ``event_partition.py:28-40``)."""
+    ts = batch["commit_ts"]
+    if tz_offset_minutes:
+        ts = pc.add(ts, pa.scalar(tz_offset_minutes * 60_000_000, pa.duration("us")))
+    day = pc.strftime(ts, format="%Y-%m-%d")
     nbytes = pc.fill_null(pc.utf8_length(batch["content"]), 0)
     return pa.table(
         {
@@ -123,6 +133,7 @@ def recompute_days(
     through_seqno: int,
     *,
     metrics: list[MetricSpec] | None = None,
+    tz_offset_minutes: int = 0,
 ) -> dict:
     """Re-aggregate the given day partitions exactly from the WAL segments
     overlapping them; overwrite their files. (Fallback path — the spill
@@ -131,7 +142,7 @@ def recompute_days(
     if not days:
         return {"days": 0}
     metrics = DEFAULT_METRICS if metrics is None else metrics
-    segs = segments_overlapping_days(wal, days, through_seqno)
+    segs = segments_overlapping_days(wal, days, through_seqno, tz_offset_minutes)
     if not segs:
         return {"days": 0}
     target = target_schema_for(segs)
@@ -140,7 +151,9 @@ def recompute_days(
     # stateless task pool here (dim is tiny) — no actor-pool spin-up cost
     enrich = LangEnricher()
     ds = ds.map_batches(
-        lambda t, e=enrich: _project(e(t)), batch_format="pyarrow", zero_copy_batch=True
+        lambda t, e=enrich, off=tz_offset_minutes: _project(e(t), off),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     day_list = sorted(days)

@@ -73,8 +73,10 @@ class ReplayEngine:
         checks: list | None = None,  # quality.CheckSpec list; None = defaults
         folds: list | None = None,  # folds.FoldSpec list; default: none
         pseudonym_fields: list[str] | None = None,  # gdpr map fields
+        tz_offset_minutes: int = 0,  # per-table local-day boundary for aggs
     ):
         self.pseudonym_fields = pseudonym_fields or []
+        self.tz_offset_minutes = int(tz_offset_minutes)
         from .quality import DEFAULT_CHECKS
 
         self.checks = DEFAULT_CHECKS if checks is None else checks
@@ -167,6 +169,7 @@ class ReplayEngine:
         do_aggregate = self.aggregate
         lineage = self.lineage
         folds_active = bool(self.folds)
+        tz_off = self.tz_offset_minutes
 
         def _write_bucket_rgs(data: pa.Table, codes, path: str):
             """One parquet file, one row group per bucket run (input sorted
@@ -218,7 +221,7 @@ class ReplayEngine:
                 # wide-day backfill tick writes tasks files, not tasks×days
                 import json as _json
 
-                proj = _project(batch)
+                proj = _project(batch, tz_off)
                 order = pc.sort_indices(proj, sort_keys=[("day", "ascending")])
                 proj = proj.take(order)
                 fp = lineage.agglog_part_path(tick_id, uuid.uuid4().hex)
@@ -486,18 +489,23 @@ class ReplayEngine:
         agglog_this_tick = self.aggregate and self.shuffle == "spill"
         if self.aggregate:
             t_ag = time.perf_counter()
-            days = aggregates.days_of_segments(segs)
+            days = aggregates.days_of_segments(segs, self.tz_offset_minutes)
             # the agg log is only complete if EVERY segment-processing tick
-            # so far maintained it; after a mode switch (sort/hash shuffle,
-            # or aggregate=False ticks) fall back to the WAL rescan
+            # so far maintained it AND under the same local-day boundary;
+            # after a mode switch (sort/hash shuffle, aggregate=False ticks,
+            # or a tz-offset change) fall back to the WAL rescan
             log_complete = agglog_this_tick and all(
-                t.get("agglog", False) for t in self.lineage.all_ticks() if t.get("segments")
+                t.get("agglog", False)
+                and t.get("tz_offset_minutes", 0) == self.tz_offset_minutes
+                for t in self.lineage.all_ticks()
+                if t.get("segments")
             )
             if log_complete:
                 aggregates.recompute_days_from_agglog(self.lineage, days)
             else:
                 aggregates.recompute_days(
-                    self.wal, self.lineage, days, segs[-1]["seqno"]
+                    self.wal, self.lineage, days, segs[-1]["seqno"],
+                    tz_offset_minutes=self.tz_offset_minutes,
                 )
             if os.environ.get("ETL_RAY_DEBUG"):
                 print(
@@ -535,6 +543,7 @@ class ReplayEngine:
                 "live_rows": live_rows,
                 "num_buckets": self.num_buckets,
                 "agglog": agglog_this_tick,
+                "tz_offset_minutes": self.tz_offset_minutes,
                 "quality": quality_summary,
             }
         )

@@ -41,17 +41,23 @@ class DayPartitionCloser:
         close_after_us: int = 2 * US_PER_HOUR,
         force_close_us: int = 12 * US_PER_HOUR,
         recent_window_us: int = US_PER_HOUR,
+        tz_offset_minutes: int = 0,
     ):
         self.close_after_us = close_after_us
         self.force_close_us = force_close_us
         self.recent_window_us = recent_window_us
+        # per-table local midnight (reference: lib/utils.py:59-62 — each app
+        # closes its day partition on ITS timezone's midnight). Day keys stay
+        # UTC instants of the LOCAL day start, so deadlines need no rework.
+        self._tz_off_us = tz_offset_minutes * 60_000_000
         self._open: dict[int, int] = {}  # day_start_us -> last arrival now_us
         self._closed: set[int] = set()
         self._recent: deque[tuple[int, int]] = deque()  # (now_us, event_ts_us)
         self.late_after_close = 0  # lateness metric (lineage analog)
 
     def observe(self, event_ts_us: int, now_us: int) -> None:
-        day = (event_ts_us // US_PER_DAY) * US_PER_DAY
+        local = event_ts_us + self._tz_off_us
+        day = (local // US_PER_DAY) * US_PER_DAY - self._tz_off_us
         if day in self._closed:
             self.late_after_close += 1  # marked, not dropped (event_quality)
         else:

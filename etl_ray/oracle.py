@@ -64,19 +64,21 @@ def expected_final_state(wal: WalInfo, *, with_sha: bool = True) -> pa.Table:
     return tbl
 
 
-def expected_lang_daily(wal: WalInfo) -> pa.Table:
+def expected_lang_daily(wal: WalInfo, tz_offset_minutes: int = 0) -> pa.Table:
     """Expected (day, lang) aggregate over distinct-LSN events (no dup double
-    counting): files_changed, bytes, distinct_repos."""
+    counting): files_changed, bytes, distinct_repos. ``tz_offset_minutes``
+    moves the day boundary to a per-table local midnight."""
     con = duckdb.connect()
     _wal_rel(con, wal)
     tbl = con.execute(
-        """
+        f"""
         WITH uniq AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) rn
                 FROM wal) WHERE rn = 1
         )
-        SELECT strftime(commit_ts, '%Y-%m-%d') AS day, lang,
+        SELECT strftime(commit_ts + INTERVAL {int(tz_offset_minutes)} MINUTE,
+                        '%Y-%m-%d') AS day, lang,
                COUNT(*) AS files_changed,
                CAST(COALESCE(SUM(length(content)), 0) AS BIGINT) AS bytes,
                COUNT(DISTINCT repo) AS distinct_repos
