@@ -44,7 +44,13 @@ def _ensure_wal(sf_dir: str):
     from etl_ray.wal import generate_wal
 
     n = _wal_events_for(sf_dir)
-    wal_dir = os.path.join(_SCRATCH, f"wal-{_sf_tag(sf_dir)}-{n}")
+    # bench.py --scaling --micro overrides content sizes (cache-resident,
+    # compute-dominated config); the dir key carries them so the two WAL
+    # shapes coexist under _SCRATCH
+    cmin = int(os.environ.get("GRAFT_CDC_CONTENT_MIN", "64"))
+    cmax = int(os.environ.get("GRAFT_CDC_CONTENT_MAX", "2048"))
+    suffix = "" if (cmin, cmax) == (64, 2048) else f"-c{cmin}x{cmax}"
+    wal_dir = os.path.join(_SCRATCH, f"wal-{_sf_tag(sf_dir)}-{n}{suffix}")
     return generate_wal(
         wal_dir,
         seed=42,
@@ -56,8 +62,8 @@ def _ensure_wal(sf_dir: str):
         ooo_window=2_000,
         evolve_at_frac=0.6,
         segment_rows=max(10_000, n // 16),
-        content_min=64,
-        content_max=2_048,
+        content_min=cmin,
+        content_max=cmax,
         days_span=30,
     )
 

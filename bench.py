@@ -174,6 +174,8 @@ def run_scaling(lo: int = 1, hi: int = 4, pairs: int = 3) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    stage_tasks: dict = {}
+
     def config(with_sha: bool, n_pairs: int) -> dict:
         lo_secs, hi_secs, pair_eff = [], [], []
         events = None
@@ -183,6 +185,11 @@ def run_scaling(lo: int = 1, hi: int = 4, pairs: int = 3) -> dict:
             lo_secs.append(r_lo["value"])
             hi_secs.append(r_hi["value"])
             pair_eff.append(round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3))
+            # orchestration evidence: per-stage independent task counts at
+            # each parallelism level (same input → same logical plan; what
+            # scales is concurrent execution of those tasks)
+            stage_tasks[str(lo)] = r_lo.get("stage_tasks")
+            stage_tasks[str(hi)] = r_hi.get("stage_tasks")
         med_lo, med_hi = _median(lo_secs), _median(hi_secs)
         best_lo, best_hi = min(lo_secs), min(hi_secs)
         return {
@@ -209,6 +216,7 @@ def run_scaling(lo: int = 1, hi: int = 4, pairs: int = 3) -> dict:
         "sf": os.path.basename(SF_DIR),
         "replay": config(with_sha=False, n_pairs=pairs),
         "replay_plus_sha_verify": config(with_sha=True, n_pairs=pairs),
+        "stage_tasks": stage_tasks,
         "note": "single shared-memory VM proxy for N→4N nodes; measured in the "
         "regime where cores (not the box's shared DRAM bus) are the varied "
         "resource — the bus saturates by ~8-16 cores and run-to-run "
@@ -242,6 +250,7 @@ def run_cdc_only() -> dict:
     aggregate = not os.environ.get("GRAFT_BENCH_NO_AGG")
     with_sha = bool(os.environ.get("GRAFT_BENCH_WITH_SHA"))
     secs = []
+    stage_tasks = {}
     for _ in range(trials):
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
@@ -259,6 +268,12 @@ def run_cdc_only() -> dict:
 
             final_state(lake, with_sha=True).count()
         secs.append(time.perf_counter() - t0)
+        # orchestration evidence: independent tasks per stage at this level
+        stage_tasks = {
+            "stage1_tasks": getattr(eng, "last_stage1_tasks", None),
+            "stage2_buckets": getattr(eng, "last_stage2_items", None),
+            "applier_concurrency": NUM_CPUS,
+        }
     sec = min(secs)
     ray.shutdown()
     return {
@@ -271,12 +286,24 @@ def run_cdc_only() -> dict:
         "num_cpus": NUM_CPUS,
         "cdc_events": wal.n_events,
         "cdc_events_per_sec": round(wal.n_events / sec, 1),
+        "stage_tasks": stage_tasks,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        if "--micro" in sys.argv:
+            # cache-resident fixed-work micro-config: tiny content (16-64 B)
+            # so the working set sits in LLC/page cache and per-event compute
+            # (dedup, grouping, sha) dominates — the pair ABOVE the DRAM knee
+            # (2→8) measured where bandwidth can't clamp it. The env vars
+            # propagate to the fresh child processes.
+            os.environ.setdefault("GRAFT_CDC_EVENTS", "6000000")
+            os.environ.setdefault("GRAFT_CDC_CONTENT_MIN", "16")
+            os.environ.setdefault("GRAFT_CDC_CONTENT_MAX", "64")
+            print(json.dumps(run_scaling(lo=2, hi=8)))
+        else:
+            print(json.dumps(run_scaling()))
     elif os.environ.get("GRAFT_BENCH_CDC_ONLY"):
         print(json.dumps(run_cdc_only()))
     else:

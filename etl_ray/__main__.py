@@ -48,6 +48,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="maintain the GDPR pseudonym map for this column; repeatable",
     )
+    r.add_argument(
+        "--retain-ticks",
+        type=int,
+        default=0,
+        help="keep per-bucket state history for this many ticks so "
+        "'export --as-of-tick' can time-travel (default 0: current only)",
+    )
+    r.add_argument(
+        "--tz-offset-minutes",
+        type=int,
+        default=0,
+        help="aggregate day boundaries at this local-midnight offset "
+        "instead of UTC (per-table timezone)",
+    )
 
     v = sub.add_parser("verify", help="check lake state against the DuckDB oracle")
     v.add_argument("--wal", required=True)
@@ -101,6 +115,19 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("status", help="lineage summary of a lake")
     st.add_argument("--lake", required=True)
 
+    ex = sub.add_parser(
+        "export", help="write the live (or as-of) state as partitioned parquet"
+    )
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument(
+        "--as-of-tick",
+        type=int,
+        default=None,
+        help="time-travel to this committed tick (needs replay --retain-ticks)",
+    )
+    ex.add_argument("--with-sha", action="store_true")
+
     au = sub.add_parser(
         "audit", help="run the AUDIT data-quality corpus against a lake's state"
     )
@@ -143,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
                 aggregate=not args.no_aggregates,
                 folds=folds,
                 pseudonym_fields=args.pseudonym_field,
+                retain_ticks=args.retain_ticks,
+                tz_offset_minutes=args.tz_offset_minutes,
             )
             if args.follow:
                 results = eng.follow(
@@ -227,6 +256,16 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(rep.summary()))
             return 1 if rep.failed_mandatory else 0
+        elif args.cmd == "export":
+            from etl_ray.engine.export import final_state
+
+            ds = final_state(
+                args.lake, with_sha=args.with_sha, as_of_tick=args.as_of_tick
+            )
+            # streaming partitioned write — one file per block, resumable by
+            # re-running into a fresh dir
+            ds.write_parquet(args.out)
+            print(json.dumps({"rows": ds.count(), "out": args.out}))
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
 

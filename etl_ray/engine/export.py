@@ -9,6 +9,7 @@ per configured column) — a stateless ``map_batches`` over Arrow batches.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -36,14 +37,60 @@ def add_content_sha(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_sha256", sha256_column(batch["content"]))
 
 
+def _as_of_files(lineage: LakeLineage, as_of_tick: int) -> list[str]:
+    """Per bucket, the newest committed state file with tick <= as_of_tick —
+    the bucket's exact content as of that commit point, provided the lake was
+    replayed with ``retain_ticks`` covering it (see ``LakeLineage.gc``).
+    Buckets whose first write postdates ``as_of_tick`` are (correctly)
+    absent. A ``rebucket`` rewrites the whole key space under new bucket ids
+    and resets time-travel history — as-of reads are valid only back to the
+    latest rebucket."""
+    import glob
+    import re
+
+    last = lineage.last_tick()
+    if last is None:
+        raise FileNotFoundError(f"no committed ticks under {lineage.lake_dir}")
+    if as_of_tick > last["tick"]:
+        raise ValueError(f"as_of_tick {as_of_tick} is in the future (last: {last['tick']})")
+    retained = last.get("retained_through_tick", last["tick"])
+    if as_of_tick < retained:
+        raise ValueError(
+            f"as_of_tick {as_of_tick} predates retained history "
+            f"(earliest exact point: {retained}; replay with retain_ticks, "
+            "and note that maintenance ops — erase/compact/rebucket — purge "
+            "history, erasure deliberately so: retained states would keep "
+            "the erased subject's rows)"
+        )
+    out = []
+    for bdir in sorted(glob.glob(os.path.join(lineage.buckets_dir, "b=*"))):
+        cands = []
+        for f in glob.glob(os.path.join(bdir, "state-t*.parquet")):
+            m = re.search(r"state-t(\d+)\.parquet$", f)
+            if m and int(m.group(1)) <= as_of_tick:
+                cands.append((int(m.group(1)), f))
+        if cands:
+            out.append(max(cands)[1])
+    return out
+
+
 def final_state(
-    lake_dir: str, *, with_sha: bool = False, include_tombstones: bool = False
+    lake_dir: str,
+    *,
+    with_sha: bool = False,
+    include_tombstones: bool = False,
+    as_of_tick: int | None = None,
 ) -> ray.data.Dataset:
     """Dataset over the current committed lake state (manifest-listed files
-    only — uncommitted staging files are invisible, per the 2-phase commit)."""
+    only — uncommitted staging files are invisible, per the 2-phase commit).
+    ``as_of_tick`` time-travels to a past commit point (requires the lake to
+    have been replayed with ``retain_ticks`` covering it)."""
     lineage = LakeLineage(lake_dir)
-    manifests = lineage.all_bucket_manifests()
-    files = [m["data_file"] for m in manifests]
+    if as_of_tick is not None:
+        files = _as_of_files(lineage, as_of_tick)
+    else:
+        manifests = lineage.all_bucket_manifests()
+        files = [m["data_file"] for m in manifests]
     if not files:
         raise FileNotFoundError(f"no committed bucket manifests under {lake_dir}")
 

@@ -158,20 +158,54 @@ class LakeLineage:
 
     # -- GC -------------------------------------------------------------------
 
-    def gc(self) -> int:
+    def gc(self, retain_ticks: int = 0) -> int:
         """Delete bucket state files not referenced by the current manifests.
         Returns number of files removed. Only called at tick start, so any
-        in-flight staging files belong to a tick that will re-run anyway."""
+        in-flight staging files belong to a tick that will re-run anyway.
+
+        ``retain_ticks > 0`` enables time travel: for every bucket, keep (a)
+        the current state, (b) every state written within the last
+        ``retain_ticks`` committed ticks, and (c) the newest state OLDER than
+        that window — the boundary state, which IS the bucket's content for
+        any as-of point inside the window when the bucket wasn't rewritten
+        since. With those three classes retained, ``final_state(...,
+        as_of_tick=T)`` is exact for every T in the window."""
         live = set()
         for m in self.all_bucket_manifests():
             live.add(m["data_file"])
             if m.get("fold_file"):
                 live.add(m["fold_file"])  # fold LSN-tail sidecar
+        cutoff = None
+        if retain_ticks > 0:
+            last = self.last_tick()
+            if last is not None:
+                cutoff = last["tick"] - retain_ticks
         removed = 0
-        for p in glob.glob(os.path.join(self.buckets_dir, "b=*", "state-t*.parquet")):
-            if p not in live:
-                os.remove(p)
-                removed += 1
+        for bdir in glob.glob(os.path.join(self.buckets_dir, "b=*")):
+            all_files = sorted(glob.glob(os.path.join(bdir, "state-t*.parquet")))
+            # .fold.parquet LSN-tail sidecars ride with their base state file
+            folds = [f for f in all_files if f.endswith(".fold.parquet")]
+            files = [f for f in all_files if not f.endswith(".fold.parquet")]
+            keep = set(f for f in files if f in live)
+            if cutoff is not None:
+                below = []
+                for f in files:
+                    t = int(re.search(r"state-t(\d+)\.parquet$", f).group(1))
+                    if t >= cutoff:
+                        keep.add(f)
+                    else:
+                        below.append((t, f))
+                if below:
+                    keep.add(max(below)[1])  # boundary state
+            for f in files:
+                if f not in keep:
+                    os.remove(f)
+                    removed += 1
+            for f in folds:
+                base = f[: -len(".fold.parquet")] + ".parquet"
+                if f not in live and base not in keep:
+                    os.remove(f)
+                    removed += 1
         for p in glob.glob(os.path.join(self.buckets_dir, "b=*", "*.tmp")):
             os.remove(p)
             removed += 1

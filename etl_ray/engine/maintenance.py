@@ -123,6 +123,8 @@ def erase_keys(
             "live_rows": sum(m["live_rows"] for m in lineage.all_bucket_manifests()),
             "num_buckets": num_buckets,  # propagate lake config lineage
             "kind": "erasure",
+            # maintenance rewrites state in place: time-travel history ends here
+            "retained_through_tick": tick_id,
         }
     )
     map_removed = 0
@@ -379,6 +381,8 @@ def rebucket(
             "state_rows": sum(m["rows"] for m in new_manifests),
             "live_rows": sum(m["live_rows"] for m in new_manifests),
             "kind": "rebucket",
+            # maintenance rewrites state in place: time-travel history ends here
+            "retained_through_tick": tick_id,
         }
     )
     os.remove(lineage.rebucket_marker_path)
@@ -464,6 +468,8 @@ def compact_tombstones(
             "state_rows": sum(m["rows"] for m in manifests),
             "live_rows": sum(m["live_rows"] for m in manifests),
             "kind": "compaction",
+            # maintenance rewrites state in place: time-travel history ends here
+            "retained_through_tick": tick_id,
         }
     )
     lineage.gc()

@@ -37,7 +37,7 @@ from .dedup import last_writer
 from .enrich import LangEnricher
 from .lineage import LakeLineage
 from .partitioning import BUCKET_COL, with_bucket
-from .source import pending_segments, read_segments, target_schema_for
+from .source import pending_segments, read_segments_indexed, target_schema_for
 
 
 @dataclass
@@ -74,9 +74,11 @@ class ReplayEngine:
         folds: list | None = None,  # folds.FoldSpec list; default: none
         pseudonym_fields: list[str] | None = None,  # gdpr map fields
         tz_offset_minutes: int = 0,  # per-table local-day boundary for aggs
+        retain_ticks: int = 0,  # >0: keep state history for as-of reads
     ):
         self.pseudonym_fields = pseudonym_fields or []
         self.tz_offset_minutes = int(tz_offset_minutes)
+        self.retain_ticks = int(retain_ticks)
         from .quality import DEFAULT_CHECKS
 
         self.checks = DEFAULT_CHECKS if checks is None else checks
@@ -296,6 +298,11 @@ class ReplayEngine:
         if os.environ.get("ETL_RAY_DEBUG"):
             print(f"[etl-ray] stage1 spill: {time.perf_counter() - t_sp:.2f}s", flush=True)
 
+        # orchestration evidence for the scaling bench: how many independent
+        # tasks each stage actually ran (stage 1 = one spill file per task
+        # batch; stage 2 = one work item per touched bucket)
+        self.last_stage1_tasks = len({r["file"] for r in shards})
+
         by_bucket: dict[int, tuple[list[str], list[int], list[str], list[int]]] = {}
         for r in shards:
             files, rgs, ffiles, frgs = by_bucket.setdefault(
@@ -310,6 +317,7 @@ class ReplayEngine:
             {"bucket": b, "files": fr[0], "rgs": fr[1], "ffiles": fr[2], "frgs": fr[3]}
             for b, fr in sorted(by_bucket.items())
         ]
+        self.last_stage2_items = len(items)
         if not items:
             return None
         if self.warm_state:
@@ -387,7 +395,7 @@ class ReplayEngine:
             return None
 
         self.lineage.recover()  # roll back any crashed rebucket attempt
-        self.lineage.gc()  # drop uncommitted staging from any crashed run
+        self.lineage.gc(self.retain_ticks)  # drop uncommitted staging from any crashed run
 
         if self.warm_state:
             # kick actor CREATION now (async, num_cpus=0): startup overlaps
@@ -416,7 +424,18 @@ class ReplayEngine:
         cpus = int(_ray_mod.cluster_resources().get("CPU", 8))
         total_rows = sum(s["rows"] for s in segs)
         nb = max(len(segs), min(cpus, total_rows // 262_144))
-        ds = read_segments(segs, target, override_num_blocks=nb)
+        if nb >= cpus and nb % cpus:
+            # round up to whole scheduling waves: 17 tasks on 8 CPUs is 3
+            # waves with a 1-task straggler tail; 24 evenly-sized tasks is 3
+            # full waves at ideal utilization. Only when blocks stay coarse —
+            # finer than ~200k rows multiplies per-bucket spill row-group
+            # fragments and slows the appliers more than it gains.
+            cand = ((nb + cpus - 1) // cpus) * cpus
+            if total_rows // cand >= 200_000:
+                nb = cand
+        if os.environ.get("ETL_RAY_STAGE1_BLOCKS"):
+            nb = int(os.environ["ETL_RAY_STAGE1_BLOCKS"])  # ops/tuning override
+        ds = read_segments_indexed(segs, target, num_blocks=nb)
 
         if self.shuffle != "spill":
             # spill fuses enrich/reduce/bucket into its stage-1 task
@@ -434,6 +453,8 @@ class ReplayEngine:
             )
 
         schema_ser = target_schema_ser(deltas_schema(target))
+        if os.environ.get("ETL_RAY_DEBUG"):
+            print(f"[etl-ray] tick setup: {time.perf_counter() - t0:.2f}s", flush=True)
         try:
             applied = self._shuffle_apply(ds, tick_id, schema_ser)
             t_ap = time.perf_counter()
@@ -468,6 +489,7 @@ class ReplayEngine:
                 },
                 prev_tick=last,
             )
+            t_q = time.perf_counter()
             qrep = run_checks(self.checks, ctx)
             if qrep.failed_mandatory:
                 raise DataQualityError(
@@ -475,6 +497,8 @@ class ReplayEngine:
                     f"data-quality checks failed: {qrep.summary()}"
                 )
             quality_summary = qrep.summary()
+            if os.environ.get("ETL_RAY_DEBUG"):
+                print(f"[etl-ray] quality gate: {time.perf_counter() - t_q:.2f}s", flush=True)
 
         # ---- two-phase commit: publish bucket manifests, then the tick ----
         state_rows = live_rows = 0
@@ -544,10 +568,23 @@ class ReplayEngine:
                 "num_buckets": self.num_buckets,
                 "agglog": agglog_this_tick,
                 "tz_offset_minutes": self.tz_offset_minutes,
+                # earliest tick an as-of read can still serve exactly: gc
+                # keeps [tick - retain_ticks, tick] plus per-bucket boundary
+                # states; monotone (history once dropped never comes back)
+                "retained_through_tick": (
+                    max(
+                        (last or {}).get("retained_through_tick", (last or {}).get("tick", 0)),
+                        tick_id - self.retain_ticks,
+                    )
+                    if self.retain_ticks > 0
+                    else tick_id
+                ),
                 "quality": quality_summary,
             }
         )
-        self.lineage.gc()
+        self.lineage.gc(self.retain_ticks)
+        if os.environ.get("ETL_RAY_DEBUG"):
+            print(f"[etl-ray] tick total: {time.perf_counter() - t0:.2f}s", flush=True)
         import shutil
 
         shutil.rmtree(os.path.join(self.lake_dir, "_shuffle"), ignore_errors=True)

@@ -87,3 +87,65 @@ def read_segments(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def read_segments_indexed(
+    segments: list[dict],
+    target: pa.Schema,
+    *,
+    num_blocks: int,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Descriptor-driven segment reader: one Dataset of (file, row-group
+    range) work items, each task reading its row groups directly with
+    ``pq.ParquetFile`` and aligning to ``target``.
+
+    Why not ``ray.data.read_parquet``: its dataset CONSTRUCTION does
+    driver-side metadata prefetch + in-memory-size sampling (it reads real
+    data on the driver) — ~2.5 s per tick on a 17-segment WAL, pure serial
+    overhead the tick pays before the first task runs. The WAL manifest
+    already knows per-segment row counts, and segments are written with 32k
+    row groups precisely so readers can split them; footer reads here are
+    one cheap metadata fetch per file."""
+    if columns is not None:
+        target = pa.schema([f for f in target if f.name in set(columns)])
+
+    total_rows = max(sum(s["rows"] for s in segments), 1)
+    # apportion num_blocks across files by row share (largest remainder),
+    # then split each file into its k EVENLY-sized contiguous rg ranges
+    # (blocks cannot span files); even sizes pack scheduling waves tightly
+    nb = max(num_blocks, len(segments))
+    quota = [s["rows"] * nb / total_rows for s in segments]
+    ks = [max(1, int(q)) for q in quota]
+    rem = sorted(
+        range(len(segments)), key=lambda i: quota[i] - int(quota[i]), reverse=True
+    )
+    for i in rem:
+        if sum(ks) >= nb:
+            break
+        ks[i] += 1
+    items = []
+    for s, k in zip(segments, ks):
+        md = pq.ParquetFile(s["file"]).metadata  # footer only
+        n_rgs = md.num_row_groups
+        k = min(n_rgs, k)
+        bounds = [round(j * n_rgs / k) for j in range(k + 1)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            if hi > lo:
+                items.append({"file": s["file"], "rg_start": lo, "rg_end": hi})
+
+    def read_item(batch: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(batch.num_rows):
+            f = batch["file"][i].as_py()
+            lo, hi = batch["rg_start"][i].as_py(), batch["rg_end"][i].as_py()
+            pf = pq.ParquetFile(f)
+            avail = set(pf.schema_arrow.names)
+            cols = [c for c in (columns or target.names) if c in avail]
+            t = pf.read_row_groups(list(range(lo, hi)), columns=cols)
+            outs.append(align_to(t, target))
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        read_item, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
