@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--events", type=int, default=1_000_000)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--repos", type=int, default=500)
+    g.add_argument(
+        "--malform-rate",
+        type=float,
+        default=0.0,
+        help="fraction of events emitted malformed (unknown op / null key) "
+        "to exercise the quarantine path",
+    )
 
     r = sub.add_parser("replay", help="replay pending WAL segments into the lake")
     r.add_argument("--wal", required=True)
@@ -139,7 +146,11 @@ def main(argv: list[str] | None = None) -> int:
         from etl_ray.wal import generate_wal
 
         info = generate_wal(
-            args.wal, seed=args.seed, n_events=args.events, n_repos=args.repos
+            args.wal,
+            seed=args.seed,
+            n_events=args.events,
+            n_repos=args.repos,
+            malform_rate=args.malform_rate,
         )
         print(json.dumps({"segments": len(info.segments), "events": info.n_events}))
         return 0

@@ -150,11 +150,14 @@ def recompute_days(
     ds = read_segments(segs, target, columns=cols)
     # stateless task pool here (dim is tiny) — no actor-pool spin-up cost
     enrich = LangEnricher()
-    ds = ds.map_batches(
-        lambda t, e=enrich, off=tz_offset_minutes: _project(e(t), off),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+
+    def project_valid(t: pa.Table) -> pa.Table:
+        from .quality import split_valid
+
+        t, _ = split_valid(t)  # stage-1 already quarantined these rows
+        return _project(enrich(t), tz_offset_minutes)
+
+    ds = ds.map_batches(project_valid, batch_format="pyarrow", zero_copy_batch=True)
 
     day_list = sorted(days)
     ds = ds.map_batches(

@@ -45,6 +45,7 @@ class TickContext:
     new_manifests: list[dict]  # applier outputs (uncommitted)
     prev_manifests: dict[int, dict]  # committed bucket → manifest
     prev_tick: dict | None  # committed tick manifest
+    quarantined: int = 0  # malformed rows routed to the quarantine table
 
 
 @dataclass
@@ -148,12 +149,23 @@ def check_unique_live_key(ctx: TickContext) -> list[dict]:
     return out
 
 
+def check_quarantine_ratio(ctx: TickContext, threshold: float = 0.05) -> list[dict]:
+    """More than ``threshold`` of the tick's rows quarantined usually means
+    an upstream schema/producer break, not scattered bad records — surfaced
+    as an OPTIONAL violation (recorded in the tick manifest, tick still
+    commits: the rows are safely routed, ops decides)."""
+    if ctx.events and ctx.quarantined / ctx.events > threshold:
+        return [{"quarantined": ctx.quarantined, "events": ctx.events}]
+    return []
+
+
 #: manifest-only invariants — O(buckets) dict lookups, effectively free;
 #: the engine default
 CHEAP_CHECKS: list[CheckSpec] = [
     CheckSpec("no_key_disappears", check_no_key_disappears, mandatory=True),
     CheckSpec("watermark_monotone", check_watermark_monotone, mandatory=True),
     CheckSpec("deltas_conserved", check_deltas_conserved, mandatory=True),
+    CheckSpec("quarantine_ratio", check_quarantine_ratio, mandatory=False),
 ]
 
 #: audit corpus: adds the key-uniqueness scan, which re-reads every touched
@@ -165,3 +177,35 @@ AUDIT_CHECKS: list[CheckSpec] = [
 ]
 
 DEFAULT_CHECKS: list[CheckSpec] = CHEAP_CHECKS
+
+
+# ---------------------------------------------------------------------------
+# Envelope validation / quarantine (the reference marks bad rows with an
+# event_quality tag instead of dropping them — load_data.sql:10; here they
+# are routed to a per-tick quarantine side table and excluded from state)
+
+VALID_OPS = ("insert", "update", "delete")
+
+
+def split_valid(batch):
+    """Partition an envelope batch into (valid, quarantined) — quarantined
+    rows carry a ``reason`` column. Contract: known ``op``; ``repo``,
+    ``path``, ``lsn`` non-null. Vectorized; the all-valid fast path returns
+    the input batch untouched."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ok_op = pc.fill_null(pc.is_in(batch["op"], value_set=pa.array(VALID_OPS)), False)
+    ok_keys = pc.and_(
+        pc.and_(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"])),
+        pc.is_valid(batch["lsn"]),
+    )
+    ok = pc.and_(ok_op, ok_keys)
+    if batch.num_rows == 0 or pc.all(ok).as_py():
+        empty = batch.slice(0, 0).append_column("reason", pa.array([], pa.string()))
+        return batch, empty
+    bad = batch.filter(pc.invert(ok))
+    bad_op = ~ok_op.to_numpy(zero_copy_only=False)[~ok.to_numpy(zero_copy_only=False)]
+    reasons = np.where(bad_op, "bad_op", "null_key").astype(object)
+    return batch.filter(ok), bad.append_column("reason", pa.array(reasons, pa.string()))

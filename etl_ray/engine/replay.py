@@ -172,6 +172,7 @@ class ReplayEngine:
         lineage = self.lineage
         folds_active = bool(self.folds)
         tz_off = self.tz_offset_minutes
+        qdir = os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}")
 
         def _write_bucket_rgs(data: pa.Table, codes, path: str):
             """One parquet file, one row group per bucket run (input sorted
@@ -205,17 +206,31 @@ class ReplayEngine:
 
             from .aggregates import _project
 
+            empty_desc = pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "file": pa.array([], pa.string()),
+                    "rg": pa.array([], pa.int32()),
+                    "rows": pa.array([], pa.int64()),
+                    "ffile": pa.array([], pa.string()),
+                    "frg": pa.array([], pa.int32()),
+                }
+            )
             if batch.num_rows == 0:
-                return pa.table(
-                    {
-                        "bucket": pa.array([], pa.int32()),
-                        "file": pa.array([], pa.string()),
-                        "rg": pa.array([], pa.int32()),
-                        "rows": pa.array([], pa.int64()),
-                        "ffile": pa.array([], pa.string()),
-                        "frg": pa.array([], pa.int32()),
-                    }
-                )
+                return empty_desc
+            from .quality import split_valid
+
+            batch, bad = split_valid(batch)
+            if bad.num_rows:
+                # bad rows are ROUTED, not dropped (event_quality semantics):
+                # per-tick quarantine side table, redone atomically with the
+                # tick (the whole dir is wiped on a crash-redo)
+                os.makedirs(qdir, exist_ok=True)
+                qf = os.path.join(qdir, f"part-{uuid.uuid4().hex}.parquet")
+                pq.write_table(bad, qf + ".tmp", compression="zstd")
+                os.replace(qf + ".tmp", qf)
+            if batch.num_rows == 0:
+                return empty_desc
             batch = enrich(batch)
             if do_aggregate:
                 # ONE agg-log file per task, one row group per day run,
@@ -412,6 +427,13 @@ class ReplayEngine:
             dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
         self.lineage.gc_agglog_tick(tick_id)  # crashed-attempt agg-log files
+        import shutil as _shutil
+
+        # crashed-attempt quarantine files: the dir is rebuilt with the tick
+        _shutil.rmtree(
+            os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}"),
+            ignore_errors=True,
+        )
 
         target = target_schema_for(segs)
         # one block per segment by default; split WITHIN segments (the WAL
@@ -441,8 +463,19 @@ class ReplayEngine:
             # spill fuses enrich/reduce/bucket into its stage-1 task
             nb = self.num_buckets
             enrich = LangEnricher()  # stateless here: task pool, no actor spin-up
+            qdir = os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}")
 
             def enrich_reduce_bucket(batch: pa.Table) -> pa.Table:
+                import uuid as _uuid
+
+                from .quality import split_valid
+
+                batch, bad = split_valid(batch)
+                if bad.num_rows:
+                    os.makedirs(qdir, exist_ok=True)
+                    qf = os.path.join(qdir, f"part-{_uuid.uuid4().hex}.parquet")
+                    pq.write_table(bad, qf + ".tmp", compression="zstd")
+                    os.replace(qf + ".tmp", qf)
                 batch = enrich(batch)
                 batch = last_writer(batch)  # per-batch combiner (salt cell)
                 batch = deltas_to_state_shape(batch)
@@ -470,6 +503,15 @@ class ReplayEngine:
         finally:
             dctx.shuffle_strategy = prev_strategy
 
+        # quarantined-row count for the tick manifest (footer metadata only)
+        import glob as _glob
+
+        quarantined = 0
+        for qf in _glob.glob(
+            os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}", "*.parquet")
+        ):
+            quarantined += pq.ParquetFile(qf).metadata.num_rows
+
         # ---- data-quality gate: runs BEFORE anything is published, so a
         # failing mandatory check leaves the previous tick fully
         # authoritative (test.py:39-64 / test_framework.py semantics) ----
@@ -488,6 +530,7 @@ class ReplayEngine:
                     m["bucket"]: m for m in self.lineage.all_bucket_manifests()
                 },
                 prev_tick=last,
+                quarantined=quarantined,
             )
             t_q = time.perf_counter()
             qrep = run_checks(self.checks, ctx)
@@ -567,6 +610,7 @@ class ReplayEngine:
                 "live_rows": live_rows,
                 "num_buckets": self.num_buckets,
                 "agglog": agglog_this_tick,
+                "quarantined_rows": quarantined,
                 "tz_offset_minutes": self.tz_offset_minutes,
                 # earliest tick an as-of read can still serve exactly: gc
                 # keeps [tick - retain_ticks, tick] plus per-bucket boundary

@@ -55,6 +55,8 @@ def expected_final_state(wal: WalInfo, *, with_sha: bool = True) -> pa.Table:
             SELECT *, row_number() OVER (
                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn
             FROM wal
+            WHERE op IN ('insert','update','delete')
+              AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL
         )
         WHERE rn = 1 AND op <> 'delete'
         ORDER BY repo, path
@@ -72,10 +74,15 @@ def expected_lang_daily(wal: WalInfo, tz_offset_minutes: int = 0) -> pa.Table:
     _wal_rel(con, wal)
     tbl = con.execute(
         f"""
-        WITH uniq AS (
+        WITH valid AS (
+            SELECT * FROM wal
+            WHERE op IN ('insert','update','delete')
+              AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL
+        ),
+        uniq AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) rn
-                FROM wal) WHERE rn = 1
+                FROM valid) WHERE rn = 1
         )
         SELECT strftime(commit_ts + INTERVAL {int(tz_offset_minutes)} MINUTE,
                         '%Y-%m-%d') AS day, lang,
@@ -99,10 +106,15 @@ def expected_repo_daily(wal: WalInfo) -> pa.Table:
     _wal_rel(con, wal)
     tbl = con.execute(
         """
-        WITH uniq AS (
+        WITH valid AS (
+            SELECT * FROM wal
+            WHERE op IN ('insert','update','delete')
+              AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL
+        ),
+        uniq AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) rn
-                FROM wal) WHERE rn = 1
+                FROM valid) WHERE rn = 1
         )
         SELECT strftime(commit_ts, '%Y-%m-%d') AS day, repo,
                COUNT(*) AS events,
@@ -129,6 +141,8 @@ def expected_repo_live_files(wal: WalInfo) -> pa.Table:
             SELECT *, row_number() OVER (
                 PARTITION BY repo, path ORDER BY lsn DESC) AS rn
             FROM wal
+            WHERE op IN ('insert','update','delete')
+              AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL
         )
         WHERE rn = 1 AND op <> 'delete'
         GROUP BY repo

@@ -135,6 +135,7 @@ def _gen_chunk(
     pool: np.ndarray,
     repo_names: np.ndarray,
     step_us: int,
+    malform_rate: float = 0.0,
 ) -> pd.DataFrame:
     """One chunk of the stream: base events for ``lsn`` plus re-emitted
     duplicates, in bounded-out-of-order stream order. Pure function of
@@ -196,6 +197,16 @@ def _gen_chunk(
         }
     )
 
+    if malform_rate > 0:
+        # malformed envelope rows (the reference's bad-record reality:
+        # load_data.sql event_quality marking): half get an unknown op,
+        # half a null key column — the engine must quarantine, not crash
+        # or silently drop
+        bad = rng.random_sample(n) < malform_rate
+        kind = rng.random_sample(n) < 0.5
+        base.loc[bad & kind, "op"] = "corrupt"
+        base.loc[bad & ~kind, "path"] = None
+
     pos = np.arange(n, dtype=np.float64)
     jitter = rng.randint(0, max(ooo_window // 4, 1), n)
     sort_key = pos + jitter
@@ -228,6 +239,7 @@ def generate_wal(
     ooo_window: int = 2_000,
     evolve_at_frac: float = 0.6,
     evolve2_at_frac: float = 1.0,
+    malform_rate: float = 0.0,
     segment_rows: int = 50_000,
     content_min: int = 64,
     content_max: int = 4_096,
@@ -256,6 +268,7 @@ def generate_wal(
         "ooo_window": ooo_window,
         "evolve_at_frac": evolve_at_frac,
         "evolve2_at_frac": evolve2_at_frac,
+        "malform_rate": malform_rate,
         "segment_rows": segment_rows,
         "content_min": content_min,
         "content_max": content_max,
@@ -372,6 +385,7 @@ def generate_wal(
             pool=pool,
             repo_names=repo_names,
             step_us=step_us,
+            malform_rate=malform_rate,
         )
         buffer.append(stream)
         buffered += len(stream)
