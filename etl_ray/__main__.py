@@ -69,6 +69,18 @@ def main(argv: list[str] | None = None) -> int:
         help="aggregate day boundaries at this local-midnight offset "
         "instead of UTC (per-table timezone)",
     )
+    r.add_argument(
+        "--changelog",
+        action="store_true",
+        help="emit the change data feed (per-tick insert/update/delete "
+        "after-images under lake/_changelog/) for downstream consumers",
+    )
+    r.add_argument(
+        "--changelog-retain",
+        type=int,
+        default=None,
+        help="drop feed directories older than this many ticks (default: keep all)",
+    )
 
     v = sub.add_parser("verify", help="check lake state against the DuckDB oracle")
     v.add_argument("--wal", required=True)
@@ -140,6 +152,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     au.add_argument("--lake", required=True)
 
+    cl = sub.add_parser(
+        "changelog", help="export the change data feed (committed ticks only)"
+    )
+    cl.add_argument("--lake", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--from-tick", type=int, default=None)
+    cl.add_argument("--to-tick", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -183,6 +203,8 @@ def main(argv: list[str] | None = None) -> int:
                 pseudonym_fields=args.pseudonym_field,
                 retain_ticks=args.retain_ticks,
                 tz_offset_minutes=args.tz_offset_minutes,
+                emit_changelog=args.changelog,
+                changelog_retain=args.changelog_retain,
             )
             if args.follow:
                 results = eng.follow(
@@ -277,6 +299,14 @@ def main(argv: list[str] | None = None) -> int:
             # re-running into a fresh dir
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "changelog":
+            from etl_ray.engine.changelog import read_changelog
+
+            ds = read_changelog(args.lake, args.from_tick, args.to_tick)
+            n = ds.count()
+            if n:
+                ds.write_parquet(args.out)
+            print(json.dumps({"rows": n, "out": args.out}))
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
 

@@ -180,6 +180,7 @@ class MergeApplier:
         schema_ser: bytes,
         folds: list | None = None,
         fold_lateness: int = 0,
+        changelog: bool = False,
     ):
         # once per actor: lineage handles + deserialized target schema
         self.lineage = LakeLineage(lake_dir)
@@ -187,6 +188,7 @@ class MergeApplier:
         self.target = pa.ipc.read_schema(pa.BufferReader(schema_ser))
         self.folds = folds or []
         self.fold_lateness = fold_lateness
+        self.changelog = changelog
 
     def _read_rgs(self, files, rgs) -> pa.Table | None:
         if not hasattr(self, "_pf_cache"):
@@ -267,6 +269,18 @@ class MergeApplier:
         merged = last_writer(merged, keys=KEYS)
         merged = merged.sort_by([(k, "ascending") for k in KEYS])
 
+        if self.changelog:
+            # CDC-out: the rows whose winning LSN changed this tick, vs the
+            # previous COMMITTED state (deterministic on crash redo)
+            from .changelog import changelog_delta, write_changelog_part
+
+            write_changelog_part(
+                self.lineage.lake_dir,
+                self.tick,
+                bucket,
+                changelog_delta(state, merged),
+            )
+
         out_path = self.lineage.bucket_state_path(bucket, self.tick)
         fold_file = None
         fold_hi = (man or {}).get("fold_through_lsn") or 0
@@ -342,7 +356,9 @@ class WarmApplierActor:
         max_cached: int = 256,
         folds: list | None = None,
         fold_lateness: int = 0,
+        changelog: bool = False,
     ):
+        self.changelog = changelog
         self.lineage = LakeLineage(lake_dir)
         # bucket → (data_file the cache corresponds to, state table)
         self.cache: dict[int, tuple[str, pa.Table]] = {}
@@ -393,6 +409,13 @@ class WarmApplierActor:
             merged = deltas
         merged = last_writer(merged, keys=KEYS)
         merged = merged.sort_by([(k, "ascending") for k in KEYS])
+
+        if self.changelog:
+            from .changelog import changelog_delta, write_changelog_part
+
+            write_changelog_part(
+                self.lineage.lake_dir, tick, bucket, changelog_delta(state, merged)
+            )
 
         out_path = self.lineage.bucket_state_path(bucket, tick)
         fold_file = None

@@ -1,0 +1,286 @@
+"""Change data feed (CDC-out): per-tick insert/update/delete deltas of the
+lake state, written beside it so downstream consumers can maintain views
+incrementally instead of re-reading full snapshots.
+
+Reference analog: the reference's consumers re-derive downstream tables from
+the full ``user_history`` state each day (``insert_user_history_derivates.sql``);
+the moral equivalent for a streaming lake is a Debezium/Delta-change-data-feed
+style after-image stream. Each applier emits, per (bucket, tick), exactly the
+state rows whose winning LSN changed this tick, tagged with a ``change_op``:
+
+- ``insert``  — key was absent (or tombstoned) in the previous committed state
+- ``update``  — key existed live and its winning row changed
+- ``delete``  — the new winning row is a tombstone (payload already null)
+- ``erase``   — GDPR erasure (key-only row; see :func:`append_erase_records`)
+
+Layout::
+
+    lake/_changelog/t{tick:06d}/b{bucket:05d}.parquet   after-image rows + change_op + tick
+    lake/_changelog/t{tick:06d}/erase.parquet           erasure records (maintenance tick)
+
+Exactly-once: parts are written tmp+rename by the applier BEFORE the tick
+commit; a crashed attempt's directory is wiped on tick redo and the re-run
+recomputes identical rows (the delta is a pure function of the previous
+COMMITTED state and the tick's deltas). Readers must only trust directories
+whose tick manifest exists — :func:`read_changelog` enforces that.
+
+GDPR: an erasure purges the subject's rows from ALL retained feed history
+(:func:`purge_keys_from_changelog`) and appends key-only ``erase`` records so
+consumers that already ingested the subject can delete downstream — matching
+the reference's delete-request propagation (``gdpr_delete_request.sql``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .dedup import KEYS
+
+CHANGE_OP_COL = "change_op"
+TICK_COL = "tick"
+_IDX = "__rowi"
+
+
+def changelog_delta(prev: pa.Table | None, merged: pa.Table) -> pa.Table:
+    """Rows of ``merged`` whose (repo, path) winning LSN differs from the
+    previous committed state (new keys included), with a ``change_op``
+    column. Pure function of its inputs → crash-redo deterministic.
+
+    Runs on a NARROW (keys, lsn, deleted) projection — payload columns never
+    enter the join (same rationale as ``dedup.last_writer``)."""
+    n = merged.num_rows
+    out_type = pa.string()
+    if n == 0:
+        return merged.append_column(CHANGE_OP_COL, pa.array([], out_type))
+    lsn = merged["lsn"].to_numpy(zero_copy_only=False)
+    deleted = merged["deleted"].to_numpy(zero_copy_only=False).astype(bool)
+    if prev is None or prev.num_rows == 0:
+        prev_lsn = np.full(n, -1, np.int64)
+        prev_live = np.zeros(n, bool)
+    else:
+        narrow = merged.select(KEYS).append_column(
+            _IDX, pa.array(np.arange(n, dtype=np.int64))
+        )
+        pk = prev.select(KEYS + ["lsn", "deleted"]).rename_columns(
+            KEYS + ["__plsn", "__pdel"]
+        )
+        j = narrow.join(pk, keys=KEYS, join_type="left outer")
+        j = j.sort_by(_IDX)  # Acero join output order is not deterministic
+        prev_lsn = (
+            pc.fill_null(j["__plsn"], -1).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        prev_live = (
+            pc.fill_null(pc.invert(j["__pdel"]), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+    changed = lsn != prev_lsn
+    if not changed.any():
+        return merged.slice(0, 0).append_column(
+            CHANGE_OP_COL, pa.array([], out_type)
+        )
+    idx = np.flatnonzero(changed)
+    op = np.where(
+        deleted[idx], "delete", np.where(prev_live[idx], "update", "insert")
+    )
+    return merged.take(pa.array(idx)).append_column(
+        CHANGE_OP_COL, pa.array(op.tolist(), out_type)
+    )
+
+
+def changelog_tick_dir(lake_dir: str, tick: int) -> str:
+    return os.path.join(lake_dir, "_changelog", f"t{tick:06d}")
+
+
+def prepare_tick_dir(
+    lake_dir: str,
+    tick: int,
+    *,
+    segments: list[int],
+    num_buckets: int,
+    enabled: bool,
+) -> None:
+    """Tick-redo feed consistency. A crash can land BETWEEN bucket-manifest
+    publications: the redo then sees already-advanced state for those buckets
+    and computes empty deltas — their feed rows exist ONLY in the crashed
+    attempt's part files, which are correct (every part is computed against
+    the pre-tick committed state, and parts are written before any manifest
+    publishes). So: keep the crashed attempt's parts when the redo is the
+    SAME attempt (identical segment set + bucket count, recorded in
+    ``attempt.json``); wipe otherwise — e.g. the operator changed
+    ``segments_per_tick`` between runs, which regroups segments under the
+    same tick id. With the feed disabled, always wipe (a partial feed for a
+    committed tick must never survive)."""
+    import json
+    import shutil
+
+    d = changelog_tick_dir(lake_dir, tick)
+    if not enabled:
+        shutil.rmtree(d, ignore_errors=True)
+        return
+    att = os.path.join(d, "attempt.json")
+    want = {"segments": list(segments), "num_buckets": int(num_buckets)}
+    if os.path.exists(att):
+        try:
+            with open(att) as f:
+                have = json.load(f)
+        except (OSError, ValueError):
+            have = None
+        if have == want:
+            for p in glob.glob(os.path.join(d, "*.tmp")):
+                os.remove(p)  # torn writes from the crashed attempt
+            return
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    tmp = att + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(want, f)
+    os.replace(tmp, att)
+
+
+def write_changelog_part(
+    lake_dir: str, tick: int, bucket: int, chg: pa.Table
+) -> int:
+    """Atomically write one bucket's feed part for the tick. Empty deltas
+    write nothing (no empty-file litter). Returns rows written."""
+    if chg.num_rows == 0:
+        return 0
+    d = changelog_tick_dir(lake_dir, tick)
+    os.makedirs(d, exist_ok=True)
+    out = chg.append_column(
+        TICK_COL, pa.array(np.full(chg.num_rows, tick, np.int32))
+    )
+    path = os.path.join(d, f"b{bucket:05d}.parquet")
+    tmp = path + f".{os.getpid()}.tmp"
+    pq.write_table(out, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return chg.num_rows
+
+
+def append_erase_records(
+    lake_dir: str,
+    tick: int,
+    keys: list[tuple[str, str]],
+    erase_lsn: int,
+    schema: pa.Schema,
+) -> None:
+    """Key-only ``erase`` records for a GDPR maintenance tick (payload
+    columns null — the feed must not republish the subject's data)."""
+    n = len(keys)
+    cols: dict[str, pa.Array] = {}
+    for f in schema:
+        if f.name == "repo":
+            cols[f.name] = pa.array([k[0] for k in keys], pa.string())
+        elif f.name == "path":
+            cols[f.name] = pa.array([k[1] for k in keys], pa.string())
+        elif f.name == "lsn":
+            cols[f.name] = pa.array([erase_lsn] * n, pa.int64())
+        elif f.name == "deleted":
+            cols[f.name] = pa.array([True] * n, pa.bool_())
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    t = pa.table(cols).append_column(CHANGE_OP_COL, pa.array(["erase"] * n))
+    t = t.append_column(TICK_COL, pa.array(np.full(n, tick, np.int32)))
+    d = changelog_tick_dir(lake_dir, tick)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "erase.parquet")
+    tmp = path + f".{os.getpid()}.tmp"
+    pq.write_table(t, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def purge_keys_from_changelog(lake_dir: str, keys: list[tuple[str, str]]) -> int:
+    """Remove the subjects' rows from every retained feed file (GDPR:
+    history must forget too). Returns rows removed. Driver-side file loop —
+    erasure is a rare admin op over delete-request-sized key lists; at
+    cluster scale the per-file rewrites would be fanned out as Ray tasks
+    (the files are independent), same as ``maintenance.erase_keys``."""
+    root = os.path.join(lake_dir, "_changelog")
+    if not os.path.isdir(root):
+        return 0
+    want = pa.array([f"{r}\x1f{p}" for r, p in keys])
+    removed = 0
+    for f in sorted(glob.glob(os.path.join(root, "t*", "*.parquet"))):
+        t = pq.read_table(f)
+        joined = pc.binary_join_element_wise(t["repo"], t["path"], "\x1f")
+        hit = pc.is_in(joined, value_set=want)
+        nhit = pc.sum(hit).as_py() or 0
+        if not nhit:
+            continue
+        kept = t.filter(pc.invert(hit))
+        removed += nhit
+        if kept.num_rows == 0:
+            os.remove(f)
+        else:
+            tmp = f + f".{os.getpid()}.tmp"
+            pq.write_table(kept, tmp, compression="zstd")
+            os.replace(tmp, f)
+    return removed
+
+
+def gc_changelog(lake_dir: str, *, drop_below_tick: int | None = None,
+                 wipe_tick: int | None = None) -> int:
+    """Feed retention. ``wipe_tick`` removes one tick's directory (crashed
+    attempt redo); ``drop_below_tick`` drops all dirs strictly below it
+    (bounded retention). Returns directories removed."""
+    import shutil
+
+    root = os.path.join(lake_dir, "_changelog")
+    removed = 0
+    if wipe_tick is not None:
+        d = changelog_tick_dir(lake_dir, wipe_tick)
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    if drop_below_tick is not None:
+        for d in sorted(glob.glob(os.path.join(root, "t*"))):
+            m = re.search(r"t(\d+)$", d)
+            if m and int(m.group(1)) < drop_below_tick:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    return removed
+
+
+def committed_changelog_files(
+    lake_dir: str, from_tick: int | None = None, to_tick: int | None = None
+) -> list[str]:
+    """Feed parts of COMMITTED ticks only (a crashed attempt's directory may
+    exist on disk before the redo wipes it — readers must never see it)."""
+    from .lineage import LakeLineage
+
+    committed = {t["tick"] for t in LakeLineage(lake_dir).all_ticks()}
+    out: list[str] = []
+    for d in sorted(glob.glob(os.path.join(lake_dir, "_changelog", "t*"))):
+        m = re.search(r"t(\d+)$", d)
+        if not m:
+            continue
+        t = int(m.group(1))
+        if t not in committed:
+            continue
+        if from_tick is not None and t < from_tick:
+            continue
+        if to_tick is not None and t > to_tick:
+            continue
+        out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return out
+
+
+def read_changelog(
+    lake_dir: str, from_tick: int | None = None, to_tick: int | None = None
+):
+    """The feed as a streaming ``ray.data.Dataset`` (ordered within a key by
+    (tick, lsn) — consumers fold with last-writer-wins per key, exactly like
+    the engine itself)."""
+    import ray.data
+
+    files = committed_changelog_files(lake_dir, from_tick, to_tick)
+    if not files:
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files)

@@ -110,6 +110,15 @@ def erase_keys(
             d["fold_through_lsn"] = prev_man.get("fold_through_lsn")
         lineage.publish_bucket(d)
         applied += part.num_rows
+    # change data feed: forget the subject in retained history, then tell
+    # downstream consumers to forget too (key-only erase records — the feed
+    # must not republish the data it is erasing)
+    feed_purged = 0
+    if os.path.isdir(os.path.join(lake_dir, "_changelog")):
+        from .changelog import append_erase_records, purge_keys_from_changelog
+
+        feed_purged = purge_keys_from_changelog(lake_dir, keys)
+        append_erase_records(lake_dir, tick_id, keys, erase_lsn, target)
     lineage.publish_tick(
         {
             "tick": tick_id,
@@ -158,6 +167,7 @@ def erase_keys(
         "tick": tick_id,
         "erase_lsn": erase_lsn,
         "map_rows_removed": map_removed,
+        "changelog_rows_purged": feed_purged,
     }
 
 

@@ -75,10 +75,14 @@ class ReplayEngine:
         pseudonym_fields: list[str] | None = None,  # gdpr map fields
         tz_offset_minutes: int = 0,  # per-table local-day boundary for aggs
         retain_ticks: int = 0,  # >0: keep state history for as-of reads
+        emit_changelog: bool = False,  # CDC-out feed (engine/changelog.py)
+        changelog_retain: int | None = None,  # feed retention in ticks
     ):
         self.pseudonym_fields = pseudonym_fields or []
         self.tz_offset_minutes = int(tz_offset_minutes)
         self.retain_ticks = int(retain_ticks)
+        self.emit_changelog = bool(emit_changelog)
+        self.changelog_retain = changelog_retain
         from .quality import DEFAULT_CHECKS
 
         self.checks = DEFAULT_CHECKS if checks is None else checks
@@ -116,7 +120,8 @@ class ReplayEngine:
             k = max(1, min(hi, self.num_buckets))
             self._warm_actors = [
                 WarmApplierActor.options(num_cpus=0).remote(
-                    self.lake_dir, 256, self.folds, self.fold_lateness
+                    self.lake_dir, 256, self.folds, self.fold_lateness,
+                    self.emit_changelog,
                 )
                 for _ in range(k)
             ]
@@ -360,7 +365,8 @@ class ReplayEngine:
         return apply_ds.map_batches(
             SpilledMergeApplier,
             fn_constructor_args=(
-                self.lake_dir, tick_id, schema_ser, self.folds, self.fold_lateness
+                self.lake_dir, tick_id, schema_ser, self.folds,
+                self.fold_lateness, self.emit_changelog,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -379,7 +385,10 @@ class ReplayEngine:
         if self.shuffle == "sort":
             return ds.groupby("__bucket").map_groups(
                 MergeApplier,
-                fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
+                fn_constructor_args=(
+                    self.lake_dir, tick_id, schema_ser, None, 0,
+                    self.emit_changelog,
+                ),
                 batch_format="pyarrow",
                 concurrency=self._applier_pool_size(),
                 num_cpus=1,
@@ -387,7 +396,9 @@ class ReplayEngine:
         parts = ds.repartition(self.num_buckets, keys=["__bucket"])
         return parts.map_batches(
             MergeApplier,
-            fn_constructor_args=(self.lake_dir, tick_id, schema_ser),
+            fn_constructor_args=(
+                self.lake_dir, tick_id, schema_ser, None, 0, self.emit_changelog
+            ),
             batch_format="pyarrow",
             batch_size=None,  # one batch per hash partition (whole buckets)
             concurrency=self._applier_pool_size(),
@@ -433,6 +444,18 @@ class ReplayEngine:
         _shutil.rmtree(
             os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}"),
             ignore_errors=True,
+        )
+        # crashed-attempt changelog parts: keep them iff this redo is the
+        # same attempt (a crash between bucket-manifest publications leaves
+        # some buckets' feed rows ONLY in those parts — see prepare_tick_dir)
+        from .changelog import prepare_tick_dir
+
+        prepare_tick_dir(
+            self.lake_dir,
+            tick_id,
+            segments=[s["seqno"] for s in segs],
+            num_buckets=self.num_buckets,
+            enabled=self.emit_changelog,
         )
 
         target = target_schema_for(segs)
@@ -511,6 +534,15 @@ class ReplayEngine:
             os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}", "*.parquet")
         ):
             quarantined += pq.ParquetFile(qf).metadata.num_rows
+
+        changelog_rows = 0
+        if self.emit_changelog:
+            from .changelog import changelog_tick_dir
+
+            for cf in _glob.glob(
+                os.path.join(changelog_tick_dir(self.lake_dir, tick_id), "*.parquet")
+            ):
+                changelog_rows += pq.ParquetFile(cf).metadata.num_rows
 
         # ---- data-quality gate: runs BEFORE anything is published, so a
         # failing mandatory check leaves the previous tick fully
@@ -624,9 +656,15 @@ class ReplayEngine:
                     else tick_id
                 ),
                 "quality": quality_summary,
+                "changelog": self.emit_changelog,
+                "changelog_rows": changelog_rows,
             }
         )
         self.lineage.gc(self.retain_ticks)
+        if self.changelog_retain is not None:
+            from .changelog import gc_changelog as _gc_cl
+
+            _gc_cl(self.lake_dir, drop_below_tick=tick_id - self.changelog_retain)
         if os.environ.get("ETL_RAY_DEBUG"):
             print(f"[etl-ray] tick total: {time.perf_counter() - t0:.2f}s", flush=True)
         import shutil
