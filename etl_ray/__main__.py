@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
         help="lateness bound subtracted from the applied watermark "
         "(default 2^20; pass 0 only when the WAL is fully consumed and closed)",
     )
+    c.add_argument(
+        "--agglog",
+        action="store_true",
+        help="instead: consolidate the day-indexed agg log to one file per "
+        "day (O(days) metadata; also migrates legacy day=*/ layouts)",
+    )
 
     r.add_argument(
         "--follow",
@@ -237,12 +243,17 @@ def main(argv: list[str] | None = None) -> int:
                 keys.append((repo, path))
             print(json.dumps(erase_keys(args.lake, keys, erase_map_fields=args.map_field)))
         elif args.cmd == "compact":
-            from etl_ray.engine.maintenance import compact_tombstones
+            if args.agglog:
+                from etl_ray.engine.maintenance import compact_agglog
 
-            kw = {"keep_after_lsn": args.keep_after_lsn}
-            if args.lateness is not None:
-                kw["lateness_bound"] = args.lateness
-            print(json.dumps(compact_tombstones(args.lake, **kw)))
+                print(json.dumps(compact_agglog(args.lake)))
+            else:
+                from etl_ray.engine.maintenance import compact_tombstones
+
+                kw = {"keep_after_lsn": args.keep_after_lsn}
+                if args.lateness is not None:
+                    kw["lateness_bound"] = args.lateness
+                print(json.dumps(compact_tombstones(args.lake, **kw)))
         elif args.cmd == "status":
             from etl_ray.engine.lineage import LakeLineage
 

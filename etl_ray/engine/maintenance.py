@@ -406,6 +406,131 @@ def rebucket(
     }
 
 
+def compact_agglog(lake_dir: str) -> dict:
+    """Consolidate the day-indexed agg log to one file per day.
+
+    The spill stage writes one agg-log file per (tick, stage-1 task), so a
+    long-running lake accumulates O(ticks × tasks) files and every per-day
+    recompute re-opens all of their footers. Compaction rewrites the log to
+    one file per day — O(days) metadata, one footer per day read — through
+    the SAME ``t*.json`` index layout the readers already use, and migrates
+    legacy ``day=*/`` directories (pre-round-2 lakes) into it. Replayed
+    duplicate LSNs are dropped while rewriting (safe: the per-day recompute
+    dedups by LSN anyway — ``aggregates.day_reduce``).
+
+    Crash-safe by construction, no marker needed: new files publish
+    parquet-first-index-last, old files are removed only afterwards
+    (index-first), and a transient old+new double-reference is harmless
+    because of the same LSN dedup — re-running compaction after a crash at
+    any point just finishes the job. New files are named under the last
+    COMMITTED tick id: the crashed-tick redo gc (``gc_agglog_tick``) only
+    ever wipes an *uncommitted* tick's files, so it can never eat them.
+
+    Offline admin op (like :func:`rebucket`): run it between ticks, not
+    concurrently with a replay. Each day is an independent Ray task; at
+    cluster scale a hot day would be sharded into several row groups by key
+    hash — the index layout already supports many (file, rg) per day.
+    """
+    import glob
+    import json
+    import uuid
+
+    import pandas as pd
+    import ray.data
+
+    lineage = LakeLineage(lake_dir)
+    last = lineage.last_tick()
+    if last is None:
+        return {"days": 0, "files_removed": 0}
+    tick_id = last["tick"]
+    agdir = lineage.agglog_dir()
+
+    old_indexes = sorted(glob.glob(os.path.join(agdir, "t*.json")))
+    legacy_dirs = sorted(glob.glob(os.path.join(agdir, "day=*")))
+    days: set[str] = set()
+    for idx in old_indexes:
+        with open(idx) as f:
+            days.update(json.load(f).keys())
+    for d in legacy_dirs:
+        days.add(os.path.basename(d)[len("day="):])
+
+    items = []
+    keep_parquets: set[str] = set()
+    for d in sorted(days):
+        rgs = lineage.agglog_day_rgs(d)
+        if len(rgs) == 1 and rgs[0][1] == 0:
+            # already one single-day file — skip iff its index holds only
+            # this day (otherwise the file still interleaves other days)
+            with open(rgs[0][0][: -len(".parquet")] + ".json") as f:
+                if list(json.load(f).keys()) == [d]:
+                    keep_parquets.add(rgs[0][0])
+                    continue
+        items.append(
+            {
+                "day": d,
+                "files": [f for f, _ in rgs],
+                "rgs": [r for _, r in rgs],
+                "out": os.path.join(
+                    agdir, f"t{tick_id:06d}-c{uuid.uuid4().hex[:8]}-{d}.parquet"
+                ),
+            }
+        )
+    if not items:
+        return {"days": 0, "files_removed": 0}
+    keep_parquets.update(it["out"] for it in items)
+
+    def write_day(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        outs = []
+        for _, row in batch.iterrows():
+            t = pa.concat_tables(
+                pq.read_table(f) if rg < 0 else pq.ParquetFile(f).read_row_group(rg)
+                for f, rg in zip(row["files"], row["rgs"])
+            )
+            lsns = t["lsn"].to_numpy()
+            _, first = np.unique(lsns, return_index=True)
+            if len(first) < len(lsns):
+                t = t.take(pa.array(np.sort(first)))
+            tmp = row["out"] + f".{os.getpid()}.tmp"
+            pq.write_table(t, tmp, compression="zstd")
+            os.replace(tmp, row["out"])
+            # index json LAST — readers discover the file through it
+            _atomic_write_json(
+                row["out"][: -len(".parquet")] + ".json", {row["day"]: 0}
+            )
+            outs.append({"day": row["day"], "rows": t.num_rows})
+        return pd.DataFrame(outs)
+
+    res = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(write_day, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+
+    # cleanup: every day was rewritten, so every snapshot source file is now
+    # redundant. Index json first (unreferences the parquet), parquet after.
+    removed = 0
+    for idx in old_indexes:
+        pqf = idx[: -len(".json")] + ".parquet"
+        if pqf in keep_parquets:
+            continue
+        os.remove(idx)
+        if os.path.exists(pqf):
+            os.remove(pqf)
+        removed += 1
+    import shutil as _shutil
+
+    for d in legacy_dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+        removed += 1
+    return {
+        "days": len(items),
+        "rows": int(res["rows"].sum()),
+        "files_removed": removed,
+    }
+
+
 def compact_tombstones(
     lake_dir: str,
     *,

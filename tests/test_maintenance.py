@@ -230,3 +230,116 @@ def test_agglog_legacy_day_layout_read(ray_session, small_wal, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+
+def test_compact_agglog(ray_session, small_wal, tmp_path):
+    """Agg-log compaction: one file per day, aggregates identical after,
+    legacy day=*/ dirs migrated, crash-window double-reference harmless,
+    and a second run is a no-op."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine.aggregates import read_agg, recompute_days_from_agglog
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.maintenance import compact_agglog
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all(
+        segments_per_tick=1
+    )
+    lin = LakeLineage(lake)
+
+    def aggs():
+        return {
+            t: read_agg(lin, t)
+            .to_pandas()
+            .sort_values(["day", "lang" if t == "lang_daily_agg" else "repo"])
+            .reset_index(drop=True)
+            for t in ("lang_daily_agg", "repo_daily_agg")
+        }
+
+    before = aggs()
+    days = sorted(before["lang_daily_agg"]["day"].unique())
+
+    # downgrade one indexed file to the legacy layout so migration is covered
+    idx_path = sorted(_glob.glob(os.path.join(lake, "_agglog", "t*.json")))[0]
+    pq_path = idx_path[: -len(".json")] + ".parquet"
+    with open(idx_path) as f:
+        day_rgs = _json.load(f)
+    pf = pq.ParquetFile(pq_path)
+    for d, rg in day_rgs.items():
+        ldir = os.path.join(lake, "_agglog", f"day={d}")
+        os.makedirs(ldir, exist_ok=True)
+        pq.write_table(pf.read_row_group(rg), os.path.join(ldir, "t000000-legacy.parquet"))
+    pf.close()
+    os.remove(idx_path)
+    os.remove(pq_path)
+
+    res = compact_agglog(lake)
+    assert res["days"] == len(days)
+    files = _glob.glob(os.path.join(lake, "_agglog", "t*.parquet"))
+    assert len(files) == len(days)
+    assert not _glob.glob(os.path.join(lake, "_agglog", "day=*")), "legacy not migrated"
+
+    recompute_days_from_agglog(lin, set(days))
+    after = aggs()
+    for t in before:
+        pd.testing.assert_frame_equal(before[t], after[t], check_dtype=False)
+
+    # crash window: an old file surviving next to its replacement (cleanup
+    # died mid-way) double-references rows — LSN dedup must absorb it
+    f0 = sorted(files)[0]
+    dup = f0.replace("-c", "-cdup")
+    _shutil.copy(f0, dup)
+    with open(f0[: -len(".parquet")] + ".json") as f:
+        _json_idx = _json.load(f)
+    with open(dup[: -len(".parquet")] + ".json", "w") as f:
+        _json.dump(_json_idx, f)
+    recompute_days_from_agglog(lin, set(days))
+    assert aggs()["lang_daily_agg"].equals(after["lang_daily_agg"])
+    # a re-run of compaction finishes the interrupted cleanup
+    compact_agglog(lake)
+    assert len(_glob.glob(os.path.join(lake, "_agglog", "t*.parquet"))) == len(days)
+    recompute_days_from_agglog(lin, set(days))
+    for t in before:
+        pd.testing.assert_frame_equal(before[t], aggs()[t], check_dtype=False)
+
+
+def test_compact_agglog_then_continue_replay(ray_session, small_wal, tmp_path):
+    """A tick applied AFTER compaction (here: a forced redo of the last
+    segments) re-adds its agg-log rows next to the compacted files; the
+    per-day LSN dedup absorbs the overlap and aggregates stay identical to
+    a never-compacted lake."""
+    import glob as _glob
+    import os
+
+    from etl_ray.engine.aggregates import read_agg
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.maintenance import compact_agglog
+
+    def run(lake, compact_midway):
+        eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+        eng.replay_all(segments_per_tick=1)
+        if compact_midway:
+            compact_agglog(lake)
+        # roll the watermark back two segments → the next tick re-applies them
+        last = eng.lineage.last_tick()
+        eng.lineage.publish_tick(
+            dict(last, tick=last["tick"] + 1, through_seqno=last["through_seqno"] - 2)
+        )
+        eng.tick()
+        lin = LakeLineage(lake)
+        return (
+            read_agg(lin, "lang_daily_agg")
+            .to_pandas()
+            .sort_values(["day", "lang"])
+            .reset_index(drop=True)
+        )
+
+    a = run(str(tmp_path / "compacted"), True)
+    b = run(str(tmp_path / "control"), False)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
