@@ -1,0 +1,95 @@
+"""Single-writer guard for a lake directory.
+
+The commit protocol (lineage.py) is crash-safe for ONE writer: two live
+writers interleaving bucket-manifest publications could commit ticks built
+on each other's half-published state. Real deployments serialize writers
+out-of-band (one driver owns the lake); this guard enforces it in-band with
+an advisory lock file so a second `replay` / maintenance op fails fast
+instead of corrupting lineage.
+
+Mechanics: ``_lock.json`` is created with O_EXCL (atomic on POSIX, incl.
+the NFS-style shared FS a multi-node lake sits on). A crashed writer's lock
+is broken when (a) it was taken on this host and its pid is gone, or (b) it
+is older than ``ttl_s`` — the cross-host fallback, so a dead driver on
+another node blocks writers for at most the TTL. Long-running writers
+re-acquire per tick, which also refreshes the timestamp.
+
+Reference analog: the reference serializes its loads per-app through
+Airflow's one-dag-run-at-a-time scheduling (``max_active_runs=1`` on its
+DAGs); a lake on shared storage needs the equivalent at the storage layer.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import socket
+import time
+
+
+class WriterLockError(RuntimeError):
+    """Another live writer holds the lake's lock."""
+
+
+def _lock_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_lock.json")
+
+
+def _is_stale(info: dict, ttl_s: float) -> bool:
+    if not isinstance(info, dict):
+        return True  # unreadable/torn lock: treat as breakable
+    if info.get("host") == socket.gethostname():
+        pid = info.get("pid")
+        if isinstance(pid, int):
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                return True  # holder died on this host
+    ts = info.get("ts", 0)
+    return (time.time() - ts) > ttl_s
+
+
+@contextlib.contextmanager
+def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
+    """Acquire the lake's writer lock for the duration of one operation.
+    Raises :class:`WriterLockError` if a live writer holds it."""
+    os.makedirs(lake_dir, exist_ok=True)
+    path = _lock_path(lake_dir)
+    payload = {
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "op": op,
+        "ts": time.time(),
+    }
+    for _ in range(8):  # bounded retries around break-and-reacquire races
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    info = json.load(f)
+            except (OSError, ValueError):
+                info = None  # holder mid-write or mid-release: retry
+                time.sleep(0.05)
+                continue
+            if _is_stale(info, ttl_s):
+                with contextlib.suppress(OSError):
+                    os.remove(path)  # break it; loop re-races for O_EXCL
+                continue
+            raise WriterLockError(
+                f"lake {lake_dir!r} is locked by {info.get('op')!r} "
+                f"(pid {info.get('pid')} on {info.get('host')}, "
+                f"age {time.time() - info.get('ts', 0):.0f}s); if that "
+                "writer is truly gone, remove _lock.json or wait out the TTL"
+            )
+    else:
+        raise WriterLockError(f"could not acquire lock for {lake_dir!r} (livelock)")
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(path)

@@ -38,6 +38,26 @@ def erase_keys(
     lsn_gap: int = ERASE_LSN_GAP,
     erase_map_fields: list[str] | None = None,
 ) -> dict:
+    from .lock import writer_lock
+
+    with writer_lock(lake_dir, "erase"):
+        return _erase_keys_locked(
+            lake_dir,
+            keys,
+            num_buckets=num_buckets,
+            lsn_gap=lsn_gap,
+            erase_map_fields=erase_map_fields,
+        )
+
+
+def _erase_keys_locked(
+    lake_dir: str,
+    keys: list[tuple[str, str]],
+    *,
+    num_buckets: int | None = None,
+    lsn_gap: int = ERASE_LSN_GAP,
+    erase_map_fields: list[str] | None = None,
+) -> dict:
     """Remove the given (repo, path) keys from the live state by applying
     delete tombstones (driver-side mini-tick: the key list is small by
     definition of a deletion request). Returns per-bucket apply stats.
@@ -235,6 +255,20 @@ def rebucket(
     *,
     fail_after_publish: int | None = None,  # crash injection for tests
 ) -> dict:
+    from .lock import writer_lock
+
+    with writer_lock(lake_dir, "rebucket"):
+        return _rebucket_locked(
+            lake_dir, new_num_buckets, fail_after_publish=fail_after_publish
+        )
+
+
+def _rebucket_locked(
+    lake_dir: str,
+    new_num_buckets: int,
+    *,
+    fail_after_publish: int | None = None,
+) -> dict:
     """Change the lake's bucket count — the partition-evolution operation a
     growing lake needs (bucket count is otherwise fixed at creation; at
     100× data growth the original count under-parallelizes every stage).
@@ -407,6 +441,13 @@ def rebucket(
 
 
 def compact_agglog(lake_dir: str) -> dict:
+    from .lock import writer_lock
+
+    with writer_lock(lake_dir, "compact-agglog"):
+        return _compact_agglog_locked(lake_dir)
+
+
+def _compact_agglog_locked(lake_dir: str) -> dict:
     """Consolidate the day-indexed agg log to one file per day.
 
     The spill stage writes one agg-log file per (tick, stage-1 task), so a
@@ -532,6 +573,20 @@ def compact_agglog(lake_dir: str) -> dict:
 
 
 def compact_tombstones(
+    lake_dir: str,
+    *,
+    keep_after_lsn: int | None = None,
+    lateness_bound: int = ERASE_LSN_GAP,
+) -> dict:
+    from .lock import writer_lock
+
+    with writer_lock(lake_dir, "compact"):
+        return _compact_tombstones_locked(
+            lake_dir, keep_after_lsn=keep_after_lsn, lateness_bound=lateness_bound
+        )
+
+
+def _compact_tombstones_locked(
     lake_dir: str,
     *,
     keep_after_lsn: int | None = None,

@@ -406,6 +406,15 @@ class ReplayEngine:
         )
 
     def tick(self, max_segments: int | None = None) -> TickResult | None:
+        # single-writer guard: held per tick (re-acquired each tick, which
+        # refreshes the TTL for long replays); the pending-segment check
+        # below needs no lock (it only reads the WAL manifest)
+        from .lock import writer_lock
+
+        with writer_lock(self.lake_dir, "replay"):
+            return self._tick_locked(max_segments)
+
+    def _tick_locked(self, max_segments: int | None = None) -> TickResult | None:
         t0 = time.perf_counter()
         last = self.lineage.last_tick()
         through = last["through_seqno"] if last else -1
