@@ -158,6 +158,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     au.add_argument("--lake", required=True)
 
+    sk = sub.add_parser(
+        "skew", help="partition-skew report: bucket histogram + hot-repo top-k"
+    )
+    sk.add_argument("--lake", required=True)
+    sk.add_argument("--top", type=int, default=20)
+
     cl = sub.add_parser(
         "changelog", help="export the change data feed (committed ticks only)"
     )
@@ -310,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
             # re-running into a fresh dir
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "skew":
+            from etl_ray.engine.diagnostics import skew_report
+
+            print(json.dumps(skew_report(args.lake, top_k=args.top)))
         elif args.cmd == "changelog":
             from etl_ray.engine.changelog import read_changelog
 
