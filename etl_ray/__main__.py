@@ -85,6 +85,14 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="check lake state against the DuckDB oracle")
     v.add_argument("--wal", required=True)
     v.add_argument("--lake", required=True)
+    v.add_argument(
+        "--as-of-tick",
+        type=int,
+        default=None,
+        help="verify a time-travel read: the oracle folds only the WAL "
+        "prefix that tick committed (through_seqno); needs --retain-ticks "
+        "history and no intervening erasure/maintenance tick",
+    )
 
     e = sub.add_parser("erase", help="GDPR-style targeted key erasure")
     e.add_argument("--lake", required=True)
@@ -157,6 +165,17 @@ def main(argv: list[str] | None = None) -> int:
         "audit", help="run the AUDIT data-quality corpus against a lake's state"
     )
     au.add_argument("--lake", required=True)
+
+    ra = sub.add_parser(
+        "recompute-aggs",
+        help="re-aggregate specific day partitions from the WAL (repair / "
+        "late-data heal, the reference's D-2/D-1/D0 cascade on demand)",
+    )
+    ra.add_argument("--wal", required=True)
+    ra.add_argument("--lake", required=True)
+    ra.add_argument(
+        "--day", action="append", required=True, help="YYYY-MM-DD; repeatable"
+    )
 
     sk = sub.add_parser(
         "skew", help="partition-skew report: bucket histogram + hot-repo top-k"
@@ -316,6 +335,25 @@ def main(argv: list[str] | None = None) -> int:
             # re-running into a fresh dir
             ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "recompute-aggs":
+            from etl_ray.engine import aggregates
+            from etl_ray.engine.lineage import LakeLineage
+            from etl_ray.engine.lock import writer_lock
+            from etl_ray.wal import WalInfo as _WalInfo
+
+            lin = LakeLineage(args.lake)
+            last = lin.last_tick()
+            if last is None:
+                p.error("lake has no committed tick")
+            with writer_lock(args.lake, "recompute-aggs"):
+                res = aggregates.recompute_days(
+                    _WalInfo.load(args.wal),
+                    lin,
+                    set(args.day),
+                    last["through_seqno"],
+                    tz_offset_minutes=last.get("tz_offset_minutes", 0),
+                )
+            print(json.dumps(res))
         elif args.cmd == "skew":
             from etl_ray.engine.diagnostics import skew_report
 
@@ -340,12 +378,20 @@ def main(argv: list[str] | None = None) -> int:
             from etl_ray.wal import WalInfo
 
             got = (
-                final_state(args.lake, with_sha=True)
+                final_state(args.lake, with_sha=True, as_of_tick=args.as_of_tick)
                 .to_pandas()
                 .sort_values(["repo", "path"])
                 .reset_index(drop=True)
             )
-            exp = expected_final_state(WalInfo.load(args.wal)).to_pandas()
+            through = None
+            if args.as_of_tick is not None:
+                from etl_ray.engine.lineage import LakeLineage
+
+                ticks = {t["tick"]: t for t in LakeLineage(args.lake).all_ticks()}
+                through = ticks[args.as_of_tick]["through_seqno"]
+            exp = expected_final_state(
+                WalInfo.load(args.wal), through_seqno=through
+            ).to_pandas()
             ok = len(got) == len(exp) and bool(
                 (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
             )

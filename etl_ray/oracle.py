@@ -20,33 +20,45 @@ import pyarrow as pa
 from .wal import WalInfo
 
 
-def _wal_rel(con: duckdb.DuckDBPyConnection, wal: WalInfo) -> None:
-    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+def _wal_rel(
+    con: duckdb.DuckDBPyConnection, wal: WalInfo, through_seqno: int | None = None
+) -> list[dict]:
+    segs = [
+        s
+        for s in wal.segments
+        if through_seqno is None or s["seqno"] <= through_seqno
+    ]
+    files = ", ".join(f"'{s['file']}'" for s in segs)
     con.execute(
         f"""
         CREATE OR REPLACE TEMP VIEW wal AS
         SELECT * FROM read_parquet([{files}], union_by_name=true)
         """
     )
+    return segs
 
 
-def expected_final_state(wal: WalInfo, *, with_sha: bool = True) -> pa.Table:
-    """Expected live table, sorted by (repo, path).
+def expected_final_state(
+    wal: WalInfo, *, with_sha: bool = True, through_seqno: int | None = None
+) -> pa.Table:
+    """Expected live table, sorted by (repo, path). ``through_seqno`` bounds
+    the fold to a segment prefix — the oracle for a time-travel (as-of-tick)
+    read, since a tick manifest records exactly its ``through_seqno``.
 
     Columns: repo, path, commit, lang, content, size_bytes, lsn
     [+ content_sha256 when ``with_sha``].
     """
     con = duckdb.connect()
-    _wal_rel(con, wal)
+    segs = _wal_rel(con, wal, through_seqno)
     sha = ", sha256(content) AS content_sha256" if with_sha else ""
     # a WAL generated with evolve_at_frac>=1 never has the evolved column
     size_expr = (
         "CAST(size_bytes AS BIGINT)"
-        if any(s.get("has_size_bytes") for s in wal.segments)
+        if any(s.get("has_size_bytes") for s in segs)
         else "CAST(NULL AS BIGINT)"
     )
     # second (struct-typed) evolution: meta struct<author, msg>
-    meta_expr = ", meta" if any(s.get("has_meta") for s in wal.segments) else ""
+    meta_expr = ", meta" if any(s.get("has_meta") for s in segs) else ""
     tbl = con.execute(
         f"""
         SELECT repo, path, "commit", lang, content,

@@ -120,3 +120,32 @@ def test_erasure_purges_history(ray_session, small_wal, tmp_path):
     assert set(_as_of_files(lineage, last["tick"])) <= current
     cur = _df(lake)
     assert not ((cur["repo"] == victim[0]) & (cur["path"] == victim[1])).any()
+
+
+def test_as_of_verify_against_bounded_oracle(ray_session, small_wal, tmp_path):
+    """The time-travel oracle: expected_final_state(through_seqno=tick T's
+    through_seqno) must equal the as-of-T read, per-row content sha equal."""
+    from etl_ray.engine.export import add_content_sha
+    from etl_ray.oracle import expected_final_state
+
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, retain_ticks=16
+    )
+    res = eng.replay_all(segments_per_tick=1)
+    assert len(res) >= 3
+    ticks = {t["tick"]: t for t in eng.lineage.all_ticks()}
+    for t in (res[0].tick, res[1].tick, res[-1].tick):
+        got = (
+            final_state(lake, with_sha=True, as_of_tick=t)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        exp = expected_final_state(
+            small_wal, through_seqno=ticks[t]["through_seqno"]
+        ).to_pandas()
+        assert len(got) == len(exp), f"tick {t}"
+        assert (
+            got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()
+        ).all(), f"tick {t}"
