@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -160,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
         help="time-travel to this committed tick (needs replay --retain-ticks)",
     )
     ex.add_argument("--with-sha", action="store_true")
+    ex.add_argument(
+        "--atomic",
+        action="store_true",
+        help="publish the output directory atomically (write to a staging "
+        "dir, swap in only when complete — readers never see a partial "
+        "or mid-overwrite export)",
+    )
 
     au = sub.add_parser(
         "audit", help="run the AUDIT data-quality corpus against a lake's state"
@@ -333,7 +341,20 @@ def main(argv: list[str] | None = None) -> int:
             )
             # streaming partitioned write — one file per block, resumable by
             # re-running into a fresh dir
-            ds.write_parquet(args.out)
+            if args.atomic:
+                import shutil as _sh
+
+                staging = args.out.rstrip("/") + ".staging"
+                _sh.rmtree(staging, ignore_errors=True)
+                ds.write_parquet(staging)
+                old = args.out.rstrip("/") + ".old"
+                _sh.rmtree(old, ignore_errors=True)
+                if os.path.isdir(args.out):
+                    os.rename(args.out, old)  # swap window: rename+rename
+                os.rename(staging, args.out)
+                _sh.rmtree(old, ignore_errors=True)
+            else:
+                ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
         elif args.cmd == "recompute-aggs":
             from etl_ray.engine import aggregates

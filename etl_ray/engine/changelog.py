@@ -284,3 +284,57 @@ def read_changelog(
     if not files:
         return ray.data.from_items([])
     return ray.data.read_parquet(files)
+
+
+def fold_feed(
+    lake_dir: str,
+    from_tick: int | None = None,
+    to_tick: int | None = None,
+    *,
+    num_partitions: int = 16,
+):
+    """Fold the feed back into a live-state Dataset — the reference consumer
+    implementation (downstream materialization from the change stream).
+
+    Correctness: per key the applied LSN is monotone across ticks (LWW only
+    advances), so last-writer-wins on ``lsn`` alone reproduces the state the
+    feed describes; keys whose winning record is a delete/erase drop out.
+    Shape: per-batch LWW combiner (a hot key sends ≤1 row per input batch)
+    → one hash shuffle on the key → per-partition LWW + filter. Same
+    single-shuffle skeleton as the engine itself."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .dedup import last_writer
+
+    files = committed_changelog_files(lake_dir, from_tick, to_tick)
+    if not files:
+        return ray.data.from_items([])
+
+    def combine(t):
+        return last_writer(t, keys=KEYS)
+
+    def finish(t):
+        t = last_writer(t, keys=KEYS)
+        keep = pc.invert(
+            pc.is_in(t[CHANGE_OP_COL], value_set=pa.array(["delete", "erase"]))
+        )
+        return t.filter(keep).drop_columns([CHANGE_OP_COL, TICK_COL])
+
+    # key-based repartition needs the hash strategy active at dataset
+    # CREATION (Ray snapshots DataContext then) — same dance as replay's
+    # hash mode
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    dctx = DataContext.get_current()
+    prev = dctx.shuffle_strategy
+    dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return (
+            ray.data.read_parquet(files)
+            .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(num_partitions, keys=KEYS)
+            .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        )
+    finally:
+        dctx.shuffle_strategy = prev

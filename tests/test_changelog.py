@@ -160,3 +160,25 @@ def test_feed_retention_gc(ray_session, small_wal, tmp_path):
     kept = [int(os.path.basename(d)[1:]) for d in dirs]
     last = res[-1].tick
     assert kept and min(kept) >= last - 1, kept
+
+
+def test_fold_feed_dataset_equals_state(feed_lake):
+    """The distributed consumer fold (changelog.fold_feed) reproduces the
+    live state exactly — same rows as the engine's own export."""
+    from etl_ray.engine.changelog import fold_feed
+
+    got = (
+        fold_feed(feed_lake, num_partitions=4)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    state = (
+        final_state(feed_lake)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(state)
+    for col in ["repo", "path", "commit", "lsn", "content"]:
+        assert (got[col].astype(object) == state[col].astype(object)).all(), col
