@@ -155,3 +155,61 @@ def test_lww_fold_split_invariance(events, splits):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(whole, refold)
+
+
+# ---- property-based: changelog delta kernel --------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(_events, st.integers(min_value=0, max_value=119))
+def test_changelog_delta_properties(events, split):
+    """For any split of an event stream into (history, tick):
+    1. completeness — prev ∪ delta folds to exactly merged (a consumer
+       applying the feed reproduces the state);
+    2. minimality — delta contains only keys whose winning LSN changed;
+    3. op labels — delete iff tombstone; insert iff the key was absent or
+       tombstoned in prev; update otherwise."""
+    from etl_ray.engine.changelog import changelog_delta
+
+    rows = pa.table(
+        {
+            "repo": [k[0] for k, _ in events],
+            "path": [k[1] for k, _ in events],
+            "lsn": list(range(1, len(events) + 1)),
+            "deleted": [op == "delete" for _, op in events],
+            "payload": [f"v{i}" for i in range(len(events))],
+        }
+    )
+    split = min(split, rows.num_rows)
+    prev = last_writer(rows.slice(0, split)) if split else None
+    merged = last_writer(rows)
+    delta = changelog_delta(prev, merged)
+
+    def key_map(t):
+        if t is None:
+            return {}
+        d = t.to_pandas()
+        return {
+            (r["repo"], r["path"]): (r["lsn"], r["deleted"]) for _, r in d.iterrows()
+        }
+
+    pm, mm, dm = key_map(prev), key_map(merged), key_map(delta)
+
+    # 2. minimality + 1. completeness: delta == keys whose lsn changed
+    changed = {k for k, v in mm.items() if pm.get(k, (None,))[0] != v[0]}
+    assert set(dm) == changed
+    folded = dict(pm)
+    folded.update(dm)
+    assert folded == mm
+
+    # 3. op labels
+    ops = {
+        (r["repo"], r["path"]): r["change_op"] for _, r in delta.to_pandas().iterrows()
+    }
+    for k, op in ops.items():
+        if mm[k][1]:
+            assert op == "delete", k
+        elif k not in pm or pm[k][1]:
+            assert op == "insert", k
+        else:
+            assert op == "update", k
