@@ -174,6 +174,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     au.add_argument("--lake", required=True)
 
+    bs = sub.add_parser(
+        "bootstrap",
+        help="initialize an EMPTY lake from an existing parquet table "
+        "snapshot, then tail the WAL with replay (snapshot-then-stream)",
+    )
+    bs.add_argument("--table", required=True, help="parquet file/dir to import")
+    bs.add_argument("--lake", required=True)
+    bs.add_argument("--buckets", type=int, default=64)
+    bs.add_argument(
+        "--through-seqno",
+        type=int,
+        default=-1,
+        help="WAL segment seqno the snapshot corresponds to; replay resumes after it",
+    )
+    bs.add_argument(
+        "--default-lsn",
+        type=int,
+        default=0,
+        help="LSN stamped on snapshot rows when the table has no lsn column "
+        "(choose the snapshot's high watermark)",
+    )
+
     ra = sub.add_parser(
         "recompute-aggs",
         help="re-aggregate specific day partitions from the WAL (repair / "
@@ -356,6 +378,20 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 ds.write_parquet(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
+        elif args.cmd == "bootstrap":
+            from etl_ray.engine.bootstrap import bootstrap_lake
+
+            print(
+                json.dumps(
+                    bootstrap_lake(
+                        args.lake,
+                        args.table,
+                        num_buckets=args.buckets,
+                        through_seqno=args.through_seqno,
+                        default_lsn=args.default_lsn,
+                    )
+                )
+            )
         elif args.cmd == "recompute-aggs":
             from etl_ray.engine import aggregates
             from etl_ray.engine.lineage import LakeLineage
