@@ -13,23 +13,52 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+# lossless widening lattice: a column observed at two of these types unifies
+# to the wider one (old data casts exactly). Deliberately NO int64→float64
+# (lossy above 2^53) and no cross-kind promotion — those would break the
+# byte-identical-old-rows guarantee the evolution contract promises.
+_WIDENING: dict[pa.DataType, int] = {
+    pa.int8(): 0,
+    pa.int16(): 1,
+    pa.int32(): 2,
+    pa.int64(): 3,
+}
+_WIDENING_F: dict[pa.DataType, int] = {pa.float32(): 0, pa.float64(): 1}
+
+
+def _promote(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """The unified type for one column seen at two types, or None."""
+    if a == b:
+        return a
+    for lattice in (_WIDENING, _WIDENING_F):
+        if a in lattice and b in lattice:
+            return a if lattice[a] >= lattice[b] else b
+    return None
+
 
 def unify_schemas(schemas: list[pa.Schema]) -> pa.Schema:
-    """Additive union of schemas. New fields append in first-seen order;
-    a field present with conflicting types raises (only additive evolution
-    is supported, as in the reference)."""
+    """Additive union of schemas. New fields append in first-seen order; a
+    field seen at two types unifies through the lossless widening lattice
+    (int8→…→int64, float32→float64) and raises otherwise (only additive /
+    widening evolution is supported, as in the reference)."""
     out_fields: list[pa.Field] = []
     seen: dict[str, pa.DataType] = {}
+    order: dict[str, int] = {}
     for s in schemas:
         for f in s:
             if f.name in seen:
-                if seen[f.name] != f.type:
+                t = _promote(seen[f.name], f.type)
+                if t is None:
                     raise TypeError(
                         f"non-additive evolution for column {f.name!r}: "
                         f"{seen[f.name]} vs {f.type}"
                     )
+                if t != seen[f.name]:
+                    seen[f.name] = t
+                    out_fields[order[f.name]] = pa.field(f.name, t, nullable=True)
             else:
                 seen[f.name] = f.type
+                order[f.name] = len(out_fields)
                 out_fields.append(pa.field(f.name, f.type, nullable=True))
     return pa.schema(out_fields)
 

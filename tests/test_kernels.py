@@ -136,3 +136,38 @@ def test_salt_cells_merge_to_same_winners():
         [("repo", "ascending"), ("path", "ascending")]
     )
     assert merged.equals(direct)
+
+
+def test_schema_widening_promotion():
+    """A column observed at two widths unifies through the lossless lattice;
+    old values cast exactly; cross-kind promotion still refuses."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from etl_ray.engine.schema_evo import align_to, unify_schemas
+
+    s32 = pa.schema([("k", pa.string()), ("n", pa.int32())])
+    s64 = pa.schema([("k", pa.string()), ("n", pa.int64()), ("extra", pa.float32())])
+    uni = unify_schemas([s32, s64])
+    assert uni.field("n").type == pa.int64()
+    assert uni.field("extra").type == pa.float32()
+
+    old = pa.table({"k": ["a", "b"], "n": pa.array([1, 2], pa.int32())})
+    up = align_to(old, uni)
+    assert up["n"].type == pa.int64()
+    assert up["n"].to_pylist() == [1, 2]
+    assert up["extra"].null_count == 2
+
+    uni_f = unify_schemas(
+        [pa.schema([("x", pa.float32())]), pa.schema([("x", pa.float64())])]
+    )
+    assert uni_f.field("x").type == pa.float64()
+
+    with _pytest.raises(TypeError, match="non-additive"):
+        unify_schemas(
+            [pa.schema([("n", pa.int64())]), pa.schema([("n", pa.float64())])]
+        )
+    with _pytest.raises(TypeError, match="non-additive"):
+        unify_schemas(
+            [pa.schema([("n", pa.string())]), pa.schema([("n", pa.int32())])]
+        )
