@@ -35,7 +35,11 @@ def target_schema_for(segments: list[dict]) -> pa.Schema:
     schemas: list[pa.Schema] = []
     seen: set[tuple] = set()
     for s in segments:
-        key = (s.get("has_size_bytes", False), s.get("has_meta", False))
+        key = (
+            s.get("has_size_bytes", False),
+            s.get("has_meta", False),
+            s.get("size_bytes_int32", False),
+        )
         if key in seen:
             continue
         seen.add(key)

@@ -239,6 +239,7 @@ def generate_wal(
     ooo_window: int = 2_000,
     evolve_at_frac: float = 0.6,
     evolve2_at_frac: float = 1.0,
+    widen_at_frac: float | None = None,  # size_bytes int32 before, int64 after
     malform_rate: float = 0.0,
     segment_rows: int = 50_000,
     content_min: int = 64,
@@ -268,6 +269,7 @@ def generate_wal(
         "ooo_window": ooo_window,
         "evolve_at_frac": evolve_at_frac,
         "evolve2_at_frac": evolve2_at_frac,
+        "widen_at_frac": widen_at_frac,
         "malform_rate": malform_rate,
         "segment_rows": segment_rows,
         "content_min": content_min,
@@ -329,7 +331,18 @@ def generate_wal(
         }
         if has_evo:
             sz = seg["_size"].where(seg["lsn"] > evolve_lsn, np.nan)
-            cols["size_bytes"] = pa.Array.from_pandas(sz, type=pa.int64())
+            # widening evolution: early post-evolve segments carry the
+            # column at int32 (a producer that under-sized it), later ones
+            # at int64 — readers unify through the widening lattice
+            size32 = (
+                widen_at_frac is not None
+                and int(seg["lsn"].max()) <= int(n * widen_at_frac)
+            )
+            cols["size_bytes"] = pa.Array.from_pandas(
+                sz, type=pa.int32() if size32 else pa.int64()
+            )
+        else:
+            size32 = False
         has_evo2 = bool((seg["lsn"] > evolve2_lsn).any())
         if has_evo2:
             live2 = (seg["lsn"] > evolve2_lsn).to_numpy() & seg["_author"].notna().to_numpy()
@@ -360,6 +373,7 @@ def generate_wal(
                 "max_lsn": int(seg["lsn"].max()),
                 "rows": len(seg),
                 "has_size_bytes": has_evo,
+                "size_bytes_int32": size32,
                 "has_meta": has_evo2,
                 "min_ts_us": int(seg["commit_ts"].min()),
                 "max_ts_us": int(seg["commit_ts"].max()),

@@ -203,3 +203,39 @@ def test_struct_schema_evolution(ray_session, tmp_path):
     assert ((lsn <= wal.evolve2_lsn) == meta_null).all()
     # the core invariant holds with the struct column present
     assert gt["content_sha256"].to_pylist() == exp["content_sha256"].to_pylist()
+
+
+def test_widening_evolution_e2e(ray_session, tmp_path):
+    """size_bytes appears as int32 in early post-evolve segments and int64
+    later; the engine unifies through the widening lattice and the final
+    state byte-matches the oracle with all values intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal"),
+        seed=11,
+        n_events=8_000,
+        n_repos=12,
+        paths_per_repo=80,
+        evolve_at_frac=0.25,
+        widen_at_frac=0.6,
+        segment_rows=1_500,
+        days_span=5,
+    )
+    widths = {
+        pq.read_schema(s["file"]).field("size_bytes").type
+        for s in wal.segments
+        if s["has_size_bytes"]
+    }
+    assert widths == {pa.int32(), pa.int64()}, "fixture must mix widths"
+
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    eng.replay_all(segments_per_tick=2)
+    _assert_matches_oracle(lake, wal)
+    # the committed state carries the widened type
+    man = eng.lineage.all_bucket_manifests()[0]
+    assert pq.read_schema(man["data_file"]).field("size_bytes").type == pa.int64()
