@@ -239,3 +239,31 @@ def test_widening_evolution_e2e(ray_session, tmp_path):
     # the committed state carries the widened type
     man = eng.lineage.all_bucket_manifests()[0]
     assert pq.read_schema(man["data_file"]).field("size_bytes").type == pa.int64()
+
+
+def test_volume_stress_replay(ray_session, tmp_path):
+    """A heavier log (300k events, high dup/delete rates, wide ooo window,
+    hot Zipf head) through multi-tick replay still byte-matches the oracle —
+    the volume/ooo/dup interaction test at the edge of unit-test budget."""
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal"),
+        seed=23,
+        n_events=300_000,
+        n_repos=40,
+        paths_per_repo=200,
+        zipf_s=1.5,
+        dup_rate=0.08,
+        delete_rate=0.12,
+        ooo_window=8_000,
+        evolve_at_frac=0.4,
+        widen_at_frac=0.7,
+        segment_rows=60_000,
+        days_span=14,
+    )
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(wal.wal_dir, lake, num_buckets=16, concurrency=3)
+    res = eng.replay_all(segments_per_tick=2)
+    assert sum(r.events for r in res) == wal.n_events
+    _assert_matches_oracle(lake, wal)
