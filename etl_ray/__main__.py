@@ -162,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ex.add_argument("--with-sha", action="store_true")
     ex.add_argument(
+        "--format",
+        choices=["parquet", "csv", "jsonl"],
+        default="parquet",
+        help="output format (csv/jsonl stream the same partitioned write)",
+    )
+    ex.add_argument(
         "--atomic",
         action="store_true",
         help="publish the output directory atomically (write to a staging "
@@ -363,12 +369,28 @@ def main(argv: list[str] | None = None) -> int:
             )
             # streaming partitioned write — one file per block, resumable by
             # re-running into a fresh dir
+            def _write(d):
+                if args.format == "csv":
+                    # meta struct columns are not CSV-representable
+                    drop = [
+                        f.name
+                        for f in ds.schema().base_schema
+                        if pa.types.is_nested(f.type)
+                    ]
+                    (ds.drop_columns(drop) if drop else ds).write_csv(d)
+                elif args.format == "jsonl":
+                    ds.write_json(d)
+                else:
+                    ds.write_parquet(d)
+
+            import pyarrow as pa
+
             if args.atomic:
                 import shutil as _sh
 
                 staging = args.out.rstrip("/") + ".staging"
                 _sh.rmtree(staging, ignore_errors=True)
-                ds.write_parquet(staging)
+                _write(staging)
                 old = args.out.rstrip("/") + ".old"
                 _sh.rmtree(old, ignore_errors=True)
                 if os.path.isdir(args.out):
@@ -376,7 +398,7 @@ def main(argv: list[str] | None = None) -> int:
                 os.rename(staging, args.out)
                 _sh.rmtree(old, ignore_errors=True)
             else:
-                ds.write_parquet(args.out)
+                _write(args.out)
             print(json.dumps({"rows": ds.count(), "out": args.out}))
         elif args.cmd == "bootstrap":
             from etl_ray.engine.bootstrap import bootstrap_lake

@@ -99,7 +99,9 @@ def final_state(
 
     target = unify_schemas([pq.read_schema(f) for f in files])
 
-    ds = ray.data.read_parquet(files)
+    # partitioning=None: the bucket layout (buckets/b=00017/...) must NOT be
+    # hive-inferred into a phantom `b` partition column on every export
+    ds = ray.data.read_parquet(files, partitioning=None)
     ds = ds.map_batches(
         lambda t: align_to(t, target), batch_format="pyarrow", zero_copy_batch=True
     )

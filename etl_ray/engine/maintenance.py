@@ -341,7 +341,12 @@ def _rebucket_locked(
 
     import ray.data
 
-    ds = ray.data.read_parquet(files, override_num_blocks=max(len(files), 1))
+    # partitioning=None: without it the buckets/b=00017/ layout is
+    # hive-inferred into a phantom string column `b` (the OLD bucket id)
+    # that would be baked into every rewritten state file
+    ds = ray.data.read_parquet(
+        files, override_num_blocks=max(len(files), 1), partitioning=None
+    )
     shards = ds.map_batches(
         spill, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).take_all()

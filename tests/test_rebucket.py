@@ -87,3 +87,25 @@ def test_rebucket_preserves_folds(ray_session, small_wal, tmp_path):
     )
     exp = duckdb_fold_oracle(small_wal)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rebucket_no_phantom_partition_column(ray_session, small_wal, tmp_path):
+    """Reading buckets/b=*/ state files must not hive-infer the directory
+    into a phantom `b` column — pre-fix, rebucket baked the OLD bucket id
+    (as a string) into every rewritten state file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine.maintenance import rebucket
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    rebucket(lake, 12)
+    for f in glob.glob(f"{lake}/buckets/b=*/state-*.parquet"):
+        names = pq.read_schema(f).names
+        assert "b" not in names, f
+    # exports are clean too
+    from etl_ray.engine.export import final_state
+
+    assert "b" not in final_state(lake).schema().names
