@@ -226,6 +226,12 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--out", required=True)
     cl.add_argument("--from-tick", type=int, default=None)
     cl.add_argument("--to-tick", type=int, default=None)
+    cl.add_argument(
+        "--fold",
+        action="store_true",
+        help="materialize the feed as a live-state table (distributed "
+        "last-writer-wins fold) instead of exporting the raw change stream",
+    )
 
     args = p.parse_args(argv)
 
@@ -438,13 +444,30 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(skew_report(args.lake, top_k=args.top)))
         elif args.cmd == "changelog":
-            from etl_ray.engine.changelog import read_changelog
+            from etl_ray.engine.changelog import (
+                committed_changelog_files,
+                fold_feed,
+                read_changelog,
+            )
 
-            ds = read_changelog(args.lake, args.from_tick, args.to_tick)
-            n = ds.count()
-            if n:
+            files = committed_changelog_files(args.lake, args.from_tick, args.to_tick)
+            n = 0
+            if files:
+                ds = (
+                    fold_feed(args.lake, args.from_tick, args.to_tick)
+                    if args.fold
+                    else read_changelog(args.lake, args.from_tick, args.to_tick)
+                )
                 ds.write_parquet(args.out)
-            print(json.dumps({"rows": n, "out": args.out}))
+                import glob as _g
+
+                import pyarrow.parquet as _pq
+
+                n = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in _g.glob(os.path.join(args.out, "*.parquet"))
+                )
+            print(json.dumps({"rows": n, "out": args.out, "fold": args.fold}))
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
 

@@ -319,7 +319,9 @@ def fold_feed(
         keep = pc.invert(
             pc.is_in(t[CHANGE_OP_COL], value_set=pa.array(["delete", "erase"]))
         )
-        return t.filter(keep).drop_columns([CHANGE_OP_COL, TICK_COL])
+        # survivors are live by construction — drop the tombstone flag too,
+        # matching the shape of the engine's own final_state export
+        return t.filter(keep).drop_columns([CHANGE_OP_COL, TICK_COL, "deleted"])
 
     # key-based repartition needs the hash strategy active at dataset
     # CREATION (Ray snapshots DataContext then) — same dance as replay's
