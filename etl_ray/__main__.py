@@ -145,6 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     rb = sub.add_parser("rebucket", help="change the lake's bucket count (crash-safe)")
     rb.add_argument("--lake", required=True)
     rb.add_argument("--buckets", type=int, required=True)
+    rb.add_argument(
+        "--drop-column",
+        action="append",
+        default=None,
+        help="drop this state column during the rewrite (explicit repair, "
+        "e.g. a phantom hive-inferred column from a pre-fix rebucket); "
+        "repeatable",
+    )
 
     st = sub.add_parser("status", help="lineage summary of a lake")
     st.add_argument("--lake", required=True)
@@ -386,6 +394,13 @@ def main(argv: list[str] | None = None) -> int:
                     (ds.drop_columns(drop) if drop else ds).write_csv(d)
                 elif args.format == "jsonl":
                     ds.write_json(d)
+                    # Ray names blocks *.json; honor the advertised format
+                    for jf in os.listdir(d):
+                        if jf.endswith(".json"):
+                            os.rename(
+                                os.path.join(d, jf),
+                                os.path.join(d, jf[: -len(".json")] + ".jsonl"),
+                            )
                 else:
                     ds.write_parquet(d)
 
@@ -405,7 +420,20 @@ def main(argv: list[str] | None = None) -> int:
                 _sh.rmtree(old, ignore_errors=True)
             else:
                 _write(args.out)
-            print(json.dumps({"rows": ds.count(), "out": args.out}))
+            # count from the WRITTEN files — ds.count() would re-execute the
+            # whole export pipeline (incl. the per-row sha stage) a 2nd time
+            rows = 0
+            for fn in os.listdir(args.out):
+                fp = os.path.join(args.out, fn)
+                if fn.endswith(".parquet"):
+                    import pyarrow.parquet as _pq
+
+                    rows += _pq.ParquetFile(fp).metadata.num_rows
+                elif fn.endswith((".csv", ".jsonl")):
+                    with open(fp, "rb") as f:
+                        n = sum(ch.count(b"\n") for ch in iter(lambda: f.read(1 << 20), b""))
+                    rows += max(0, n - 1) if fn.endswith(".csv") else n
+            print(json.dumps({"rows": rows, "out": args.out}))
         elif args.cmd == "bootstrap":
             from etl_ray.engine.bootstrap import bootstrap_lake
 
@@ -471,7 +499,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
 
-            print(json.dumps(rebucket(args.lake, args.buckets)))
+            print(
+                json.dumps(
+                    rebucket(args.lake, args.buckets, drop_columns=args.drop_column)
+                )
+            )
         elif args.cmd == "verify":
             import pandas as pd
 
@@ -490,6 +522,11 @@ def main(argv: list[str] | None = None) -> int:
                 from etl_ray.engine.lineage import LakeLineage
 
                 ticks = {t["tick"]: t for t in LakeLineage(args.lake).all_ticks()}
+                if args.as_of_tick not in ticks:
+                    p.error(
+                        f"--as-of-tick {args.as_of_tick}: no committed tick "
+                        f"manifest (have {sorted(ticks)})"
+                    )
                 through = ticks[args.as_of_tick]["through_seqno"]
             exp = expected_final_state(
                 WalInfo.load(args.wal), through_seqno=through

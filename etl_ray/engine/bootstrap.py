@@ -86,7 +86,10 @@ def bootstrap_lake(
             hi = max(1, min(cpus - 2, num_buckets))
             if isinstance(concurrency, int):
                 hi = min(hi, concurrency)
-            src = ray.data.read_parquet(table_path)
+            # partitioning=None: a snapshot under key=value directories
+            # (date=…, or a copy of a lake's own buckets/b=*/ layout) must
+            # not hive-infer phantom columns into the tick-0 state
+            src = ray.data.read_parquet(table_path, partitioning=None)
             ds = src.map_batches(
                 prep, batch_format="pyarrow", zero_copy_batch=True
             ).repartition(num_buckets, keys=[BUCKET_COL])

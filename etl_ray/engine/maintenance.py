@@ -132,7 +132,11 @@ def _erase_keys_locked(
         applied += part.num_rows
     # change data feed: forget the subject in retained history, then tell
     # downstream consumers to forget too (key-only erase records — the feed
-    # must not republish the data it is erasing)
+    # must not republish the data it is erasing). A crash between the purge
+    # and the tick publish loses the erase records for consumers (the redo
+    # wipes the uncommitted dir): like any failed delete-request, erase_keys
+    # MUST be re-run to completion — it is idempotent, and the re-run
+    # re-appends the records under its own committed tick.
     feed_purged = 0
     if os.path.isdir(os.path.join(lake_dir, "_changelog")):
         from .changelog import append_erase_records, purge_keys_from_changelog
@@ -254,12 +258,16 @@ def rebucket(
     new_num_buckets: int,
     *,
     fail_after_publish: int | None = None,  # crash injection for tests
+    drop_columns: list[str] | None = None,  # explicit state-column repair
 ) -> dict:
     from .lock import writer_lock
 
     with writer_lock(lake_dir, "rebucket"):
         return _rebucket_locked(
-            lake_dir, new_num_buckets, fail_after_publish=fail_after_publish
+            lake_dir,
+            new_num_buckets,
+            fail_after_publish=fail_after_publish,
+            drop_columns=drop_columns,
         )
 
 
@@ -268,6 +276,7 @@ def _rebucket_locked(
     new_num_buckets: int,
     *,
     fail_after_publish: int | None = None,
+    drop_columns: list[str] | None = None,
 ) -> dict:
     """Change the lake's bucket count — the partition-evolution operation a
     growing lake needs (bucket count is otherwise fixed at creation; at
@@ -301,6 +310,18 @@ def _rebucket_locked(
     old_manifests = lineage.all_bucket_manifests()
     files = [m["data_file"] for m in old_manifests]
     target = unify_schemas([pq.read_schema(f) for f in files])
+    if drop_columns:
+        # explicit column repair while the whole lake rewrites anyway —
+        # e.g. shedding the phantom `b` a pre-fix rebucket baked into state
+        # files (an operator decision, never a heuristic: a drop is data loss
+        # if the column was real)
+        # literal "deleted": the function-local `from .apply import
+        # DELETED_COL` further down makes the module-level name unusable here
+        core = {"repo", "path", "lsn", "deleted"}
+        bad = core & set(drop_columns)
+        if bad:
+            raise ValueError(f"cannot drop engine-core columns: {sorted(bad)}")
+        target = pa.schema([f for f in target if f.name not in set(drop_columns)])
     nb = new_num_buckets
 
     spill_dir = os.path.join(lake_dir, "_shuffle", f"rebucket-{tick_id:06d}")
@@ -309,9 +330,17 @@ def _rebucket_locked(
     shutil.rmtree(spill_dir, ignore_errors=True)
     os.makedirs(spill_dir, exist_ok=True)
 
+    drop_set = set(drop_columns or [])
+
     def spill(batch: pa.Table) -> pa.Table:
         from .partitioning import BUCKET_COL, with_bucket
 
+        if drop_set:
+            present = [c for c in batch.schema.names if c in drop_set]
+            if present:
+                batch = batch.drop_columns(present)
+        # align_to keeps extra columns by design, so the repair drop above
+        # must happen BEFORE it
         batch = with_bucket(align_to(batch, target), nb)
         order = pc.sort_indices(batch, sort_keys=[(BUCKET_COL, "ascending")])
         batch = batch.take(order)
