@@ -156,6 +156,12 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("status", help="lineage summary of a lake")
     st.add_argument("--lake", required=True)
+    st.add_argument(
+        "--history",
+        action="store_true",
+        help="also list one line per committed tick (events, rows, feed, "
+        "quarantine) — the ops throughput trail",
+    )
 
     ex = sub.add_parser(
         "export", help="write the live (or as-of) state as partitioned parquet"
@@ -349,6 +355,24 @@ def main(argv: list[str] | None = None) -> int:
                             (m["applied_lsn"] for m in mans), default=None
                         ),
                         "ticks": len(lin.all_ticks()),
+                        **(
+                            {
+                                "history": [
+                                    {
+                                        "tick": t["tick"],
+                                        "kind": t.get("kind", "replay"),
+                                        "segments": len(t.get("segments", [])),
+                                        "events": t.get("events", 0),
+                                        "live_rows": t.get("live_rows"),
+                                        "changelog_rows": t.get("changelog_rows"),
+                                        "quarantined_rows": t.get("quarantined_rows"),
+                                    }
+                                    for t in lin.all_ticks()
+                                ]
+                            }
+                            if args.history
+                            else {}
+                        ),
                     }
                 )
             )

@@ -64,3 +64,75 @@ def test_follow_consumes_growing_wal(ray_session, small_wal, tmp_path):
     exp = expected_final_state(small_wal).to_pandas()
     assert len(got) == len(exp)
     assert (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
+
+
+def test_follow_with_live_feed_consumer(ray_session, small_wal, tmp_path):
+    """Live-tail with the change data feed on: a consumer folding the feed
+    after every committed tick converges to the same live state the engine
+    exports — the streaming CDC-out end-to-end."""
+    import os
+
+    from etl_ray.engine.changelog import committed_changelog_files
+
+    view_dir = str(tmp_path / "walview")
+    os.makedirs(view_dir, exist_ok=True)
+
+    def manifest_through(k: int) -> None:
+        WalInfo(
+            wal_dir=view_dir,
+            n_events=sum(s["rows"] for s in small_wal.segments[:k]),
+            n_base_events=small_wal.n_base_events,
+            evolve_lsn=small_wal.evolve_lsn,
+            segments=small_wal.segments[:k],
+            params=None,
+        ).save()
+
+    total = len(small_wal.segments)
+    manifest_through(2)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        view_dir, lake, num_buckets=8, concurrency=2, aggregate=False,
+        emit_changelog=True,
+    )
+    results: list = []
+    t = threading.Thread(
+        target=lambda: results.extend(
+            eng.follow(poll_interval_s=0.2, idle_timeout_s=6.0)
+        )
+    )
+    t.start()
+    for k in range(3, total + 1):
+        time.sleep(0.8)
+        manifest_through(k)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert sum(r.segments for r in results) == total
+
+    # the feed covers every committed tick exactly once
+    import pyarrow.parquet as pq
+
+    feed = pd.concat(
+        [pq.read_table(f).to_pandas() for f in committed_changelog_files(lake)],
+        ignore_index=True,
+    )
+    assert set(feed["tick"].unique()) == {r.tick for r in results}
+
+    # consumer fold == engine export
+    last = (
+        feed.sort_values(["lsn"], kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .tail(1)
+    )
+    live = (
+        last[~last["change_op"].isin(["delete", "erase"])]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    state = (
+        final_state(lake)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert len(live) == len(state)
+    assert (live["content"].to_numpy() == state["content"].to_numpy()).all()
