@@ -190,8 +190,9 @@ def recompute_days_from_agglog(
         return {"days": 0}
     metrics = DEFAULT_METRICS if metrics is None else metrics
     items = []
+    day_rgs = lineage.agglog_days_rgs(set(days))  # one index pass for all days
     for d in sorted(days):
-        rgs = lineage.agglog_day_rgs(d)
+        rgs = day_rgs.get(d, [])
         if rgs:
             items.append(
                 {"day": d, "files": [f for f, _ in rgs], "rgs": [r for _, r in rgs]}

@@ -247,6 +247,29 @@ class LakeLineage:
             out.append((p, -1))
         return out
 
+    def agglog_days_rgs(self, days: set[str]) -> dict[str, list[tuple[str, int]]]:
+        """Batch form of :meth:`agglog_day_rgs`: ONE pass over the index
+        files for any number of days. The per-day method re-opens every
+        ``t*.json`` per call — O(days × ticks) driver file opens on a
+        backfill; this is O(ticks + days)."""
+        for d in days:
+            if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", d):
+                raise ValueError(f"bad day partition: {d!r}")
+        out: dict[str, list[tuple[str, int]]] = {d: [] for d in days}
+        for idx in sorted(glob.glob(os.path.join(self.agglog_dir(), "t*.json"))):
+            with open(idx) as f:
+                file_days = json.load(f)
+            pqf = idx[: -len(".json")] + ".parquet"
+            for d, rg in file_days.items():
+                if d in out:
+                    out[d].append((pqf, rg))
+        for d in days:
+            for p in sorted(
+                glob.glob(os.path.join(self.agglog_dir(), f"day={d}", "t*.parquet"))
+            ):
+                out[d].append((p, -1))
+        return out
+
     def gc_agglog_tick(self, tick: int) -> int:
         """Remove agg-log files written by a crashed attempt of ``tick``
         (they would otherwise double-count; re-run rewrites them)."""

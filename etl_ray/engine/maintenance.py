@@ -531,8 +531,9 @@ def _compact_agglog_locked(lake_dir: str) -> dict:
 
     items = []
     keep_parquets: set[str] = set()
+    all_rgs = lineage.agglog_days_rgs(days)  # one index pass for all days
     for d in sorted(days):
-        rgs = lineage.agglog_day_rgs(d)
+        rgs = all_rgs.get(d, [])
         if len(rgs) == 1 and rgs[0][1] == 0:
             # already one single-day file — skip iff its index holds only
             # this day (otherwise the file still interleaves other days)
