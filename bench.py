@@ -114,6 +114,11 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "cdc_events": wal.n_events,
         "cdc_events_per_sec": round(wal.n_events / cdc_sec, 1),
+        # orchestration evidence: independent task counts of the last tick
+        "stage_tasks": {
+            "stage1_tasks": getattr(eng, "last_stage1_tasks", None),
+            "stage2_buckets": getattr(eng, "last_stage2_items", None),
+        },
     }
     ray.shutdown()
     return result
