@@ -159,6 +159,75 @@ def check_quarantine_ratio(ctx: TickContext, threshold: float = 0.05) -> list[di
     return []
 
 
+def check_feed_consistency(ctx: TickContext) -> list[dict]:
+    """Offline audit: folding the COMPLETE change data feed reproduces the
+    committed live state exactly — (repo, path, lsn) equality. Runs only
+    when the feed can actually prove it: offline audit context (the CLI's
+    new == prev shape), every segment tick emitted the feed, no bootstrap
+    tick (its state never entered the feed), and no retention gap. Any
+    other shape skips silently (no feed ⇒ nothing to audit). Audit-tier
+    cost: reads the whole feed's narrow key projection."""
+    if ctx.segments or ctx.events:
+        return []  # mid-tick: the current attempt's parts aren't committed
+    ticks = ctx.lineage.all_ticks()
+    seg_ticks = [t for t in ticks if t.get("segments")]
+    if not seg_ticks or not all(t.get("changelog") for t in seg_ticks):
+        return []
+    if any(t.get("kind") == "bootstrap" for t in ticks):
+        return []
+    import glob
+    import os
+    import re
+
+    from .changelog import committed_changelog_files
+
+    lake = ctx.lineage.lake_dir
+    have_dirs = {
+        int(re.search(r"t(\d+)$", d).group(1))
+        for d in glob.glob(os.path.join(lake, "_changelog", "t*"))
+        if re.search(r"t(\d+)$", d)
+    }
+    need = {t["tick"] for t in seg_ticks if t.get("changelog_rows", 0) > 0}
+    if not need <= have_dirs:
+        return []  # retention dropped part of the feed: cannot audit
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    files = committed_changelog_files(lake)
+    if not files:
+        return []
+    feed = pd.concat(
+        [
+            pq.read_table(f, columns=["repo", "path", "lsn", "change_op"]).to_pandas()
+            for f in files
+        ],
+        ignore_index=True,
+    )
+    last = (
+        feed.sort_values("lsn", kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .tail(1)
+    )
+    live = last[~last["change_op"].isin(["delete", "erase"])]
+    folded = set(zip(live["repo"], live["path"], live["lsn"]))
+
+    state: set[tuple] = set()
+    for m in ctx.new_manifests:
+        t = pq.read_table(m["data_file"], columns=["repo", "path", "lsn", "deleted"])
+        df = t.to_pandas()
+        df = df[~df["deleted"]]
+        state.update(zip(df["repo"], df["path"], df["lsn"]))
+    if folded != state:
+        return [
+            {
+                "feed_only": len(folded - state),
+                "state_only": len(state - folded),
+            }
+        ]
+    return []
+
+
 #: manifest-only invariants — O(buckets) dict lookups, effectively free;
 #: the engine default
 CHEAP_CHECKS: list[CheckSpec] = [
@@ -174,6 +243,7 @@ CHEAP_CHECKS: list[CheckSpec] = [
 AUDIT_CHECKS: list[CheckSpec] = [
     *CHEAP_CHECKS,
     CheckSpec("unique_live_key", check_unique_live_key, mandatory=True),
+    CheckSpec("feed_consistency", check_feed_consistency, mandatory=True),
 ]
 
 DEFAULT_CHECKS: list[CheckSpec] = CHEAP_CHECKS

@@ -105,3 +105,61 @@ def test_audit_checks_pass_full_replay(ray_session, small_wal, tmp_path):
         "checks_failed": [],
         "violations": {},
     }
+
+
+def test_audit_feed_consistency(ray_session, small_wal, tmp_path):
+    """The offline audit's feed_consistency check: passes on a healthy
+    feed-enabled lake, flags a forged feed divergence, and skips silently
+    when the feed is absent/incomplete."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine import ReplayEngine
+    from etl_ray.engine.quality import TickContext, check_feed_consistency
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, emit_changelog=True
+    ).replay_all(segments_per_tick=2)
+
+    from etl_ray.engine.lineage import LakeLineage
+
+    lin = LakeLineage(lake)
+    mans = lin.all_bucket_manifests()
+    ctx = TickContext(
+        lineage=lin,
+        tick=lin.last_tick()["tick"],
+        events=0,
+        segments=[],
+        new_manifests=mans,
+        prev_manifests={m["bucket"]: m for m in mans},
+        prev_tick=lin.last_tick(),
+    )
+    assert check_feed_consistency(ctx) == []
+
+    # forge a divergence: drop one feed part file entirely
+    part = sorted(glob.glob(os.path.join(lake, "_changelog", "t*", "b*.parquet")))[0]
+    saved = pq.read_table(part)
+    os.remove(part)
+    v = check_feed_consistency(ctx)
+    assert v and (v[0]["feed_only"] or v[0]["state_only"])
+    pq.write_table(saved, part)
+    assert check_feed_consistency(ctx) == []
+
+    # a lake without a feed skips silently
+    plain = str(tmp_path / "plain")
+    ReplayEngine(small_wal.wal_dir, plain, num_buckets=8, concurrency=2).replay_all()
+    lin2 = LakeLineage(plain)
+    m2 = lin2.all_bucket_manifests()
+    ctx2 = TickContext(
+        lineage=lin2,
+        tick=lin2.last_tick()["tick"],
+        events=0,
+        segments=[],
+        new_manifests=m2,
+        prev_manifests={m["bucket"]: m for m in m2},
+        prev_tick=lin2.last_tick(),
+    )
+    assert check_feed_consistency(ctx2) == []
