@@ -213,3 +213,45 @@ def test_changelog_delta_properties(events, split):
             assert op == "insert", k
         else:
             assert op == "update", k
+
+
+def test_degenerate_single_key_log(ray_session, tmp_path):
+    """The worst skew possible: EVERY event updates one (repo, path). The
+    per-batch pre-reduction (each stage-1 batch = a salt cell) must bound
+    what reaches the shuffle to <= 1 row per stage-1 task, and the final
+    state is the single last-writer row."""
+    from etl_ray.engine import ReplayEngine
+    from etl_ray.engine.export import final_state
+    from etl_ray.oracle import expected_final_state
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal"),
+        seed=3,
+        n_events=60_000,
+        n_repos=1,
+        paths_per_repo=1,
+        delete_rate=0.0,
+        dup_rate=0.05,
+        ooo_window=1_000,
+        segment_rows=15_000,
+        days_span=2,
+    )
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    eng.replay_all()
+
+    mans = eng.lineage.all_bucket_manifests()
+    touched = [m for m in mans if m["delta_rows"] > 0]
+    assert len(touched) == 1  # one key → one bucket
+    # the combiner bound: <= (1 or 2 live keys) x stage-1 tasks rows shuffled,
+    # not 60k (paths_per_repo=1 still yields <=2 distinct paths in the
+    # generator's key space; bound generously vs the event count)
+    assert touched[0]["delta_rows"] <= 4 * eng.last_stage1_tasks, (
+        touched[0]["delta_rows"],
+        eng.last_stage1_tasks,
+    )
+    got = final_state(lake, with_sha=True).to_pandas()
+    exp = expected_final_state(wal).to_pandas()
+    assert len(got) == len(exp)
+    assert (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
