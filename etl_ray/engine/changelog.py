@@ -196,33 +196,58 @@ def append_erase_records(
     os.replace(tmp, path)
 
 
+def _purge_file(f: str, want: pa.Array) -> int:
+    """Drop the subjects' rows from one feed part (tmp+rename). Returns
+    rows removed. Idempotent — a crash mid-purge re-runs harmlessly."""
+    t = pq.read_table(f)
+    joined = pc.binary_join_element_wise(t["repo"], t["path"], "\x1f")
+    hit = pc.is_in(joined, value_set=want)
+    nhit = pc.sum(hit).as_py() or 0
+    if not nhit:
+        return 0
+    kept = t.filter(pc.invert(hit))
+    if kept.num_rows == 0:
+        os.remove(f)
+    else:
+        tmp = f + f".{os.getpid()}.tmp"
+        pq.write_table(kept, tmp, compression="zstd")
+        os.replace(tmp, f)
+    return int(nhit)
+
+
 def purge_keys_from_changelog(lake_dir: str, keys: list[tuple[str, str]]) -> int:
     """Remove the subjects' rows from every retained feed file (GDPR:
-    history must forget too). Returns rows removed. Driver-side file loop —
-    erasure is a rare admin op over delete-request-sized key lists; at
-    cluster scale the per-file rewrites would be fanned out as Ray tasks
-    (the files are independent), same as ``maintenance.erase_keys``."""
+    history must forget too). Returns rows removed. The per-file rewrites
+    are independent → fanned out as Ray tasks over the shared FS (a
+    long-run lake holds O(ticks × buckets) parts; a serial driver loop
+    would serialize that IO); small file counts stay on the driver."""
     root = os.path.join(lake_dir, "_changelog")
     if not os.path.isdir(root):
         return 0
     want = pa.array([f"{r}\x1f{p}" for r, p in keys])
-    removed = 0
-    for f in sorted(glob.glob(os.path.join(root, "t*", "*.parquet"))):
-        t = pq.read_table(f)
-        joined = pc.binary_join_element_wise(t["repo"], t["path"], "\x1f")
-        hit = pc.is_in(joined, value_set=want)
-        nhit = pc.sum(hit).as_py() or 0
-        if not nhit:
-            continue
-        kept = t.filter(pc.invert(hit))
-        removed += nhit
-        if kept.num_rows == 0:
-            os.remove(f)
-        else:
-            tmp = f + f".{os.getpid()}.tmp"
-            pq.write_table(kept, tmp, compression="zstd")
-            os.replace(tmp, f)
-    return removed
+    files = sorted(glob.glob(os.path.join(root, "t*", "*.parquet")))
+    if not files:
+        return 0
+    if len(files) <= 64:
+        return sum(_purge_file(f, want) for f in files)
+
+    import pandas as pd
+    import ray.data
+
+    wl = want.to_pylist()  # ships once with the task closure
+
+    def purge_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        w = pa.array(wl)
+        return pd.DataFrame(
+            {"removed": [sum(_purge_file(f, w) for f in batch["file"])]}
+        )
+
+    res = (
+        ray.data.from_items([{"file": f} for f in files])
+        .map_batches(purge_batch, batch_format="pandas", batch_size=32)
+        .to_pandas()
+    )
+    return int(res["removed"].sum())
 
 
 def gc_changelog(lake_dir: str, *, drop_below_tick: int | None = None,

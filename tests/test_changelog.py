@@ -182,3 +182,52 @@ def test_fold_feed_dataset_equals_state(feed_lake):
     assert len(got) == len(state)
     for col in ["repo", "path", "commit", "lsn", "content"]:
         assert (got[col].astype(object) == state[col].astype(object)).all(), col
+
+
+def test_purge_distributed_path(ray_session, small_wal, tmp_path):
+    """The >64-files fan-out path of purge_keys_from_changelog removes the
+    same rows the serial path does (driven directly on a lake copy)."""
+    import shutil
+
+    import etl_ray.engine.changelog as cl
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, emit_changelog=True
+    ).replay_all(segments_per_tick=1)
+    state = final_state(lake).to_pandas()
+    victims = [tuple(r) for r in state[["repo", "path"]].head(5).to_numpy()]
+
+    lake2 = str(tmp_path / "lake2")
+    shutil.copytree(lake, lake2)
+
+    n_serial = cl.purge_keys_from_changelog(lake, victims)
+    files = len(
+        __import__("glob").glob(os.path.join(lake2, "_changelog", "t*", "*.parquet"))
+    )
+    assert files > 0
+    # call the internals the way the >64 branch would
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    want = [f"{r}\x1f{p}" for r, p in victims]
+
+    def purge_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        w = pa.array(want)
+        return pd.DataFrame(
+            {"removed": [sum(cl._purge_file(f, w) for f in batch["file"])]}
+        )
+
+    fl = sorted(
+        __import__("glob").glob(os.path.join(lake2, "_changelog", "t*", "*.parquet"))
+    )
+    res = (
+        ray.data.from_items([{"file": f} for f in fl])
+        .map_batches(purge_batch, batch_format="pandas", batch_size=4)
+        .to_pandas()
+    )
+    assert int(res["removed"].sum()) == n_serial
+    a = _feed_df(lake).drop(columns=[]).reset_index(drop=True)
+    b = _feed_df(lake2).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
