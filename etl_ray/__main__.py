@@ -94,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
         "prefix that tick committed (through_seqno); needs --retain-ticks "
         "history and no intervening erasure/maintenance tick",
     )
+    v.add_argument(
+        "--aggs",
+        action="store_true",
+        help="also check lang_daily_agg / repo_daily_agg against the "
+        "DuckDB aggregate oracle (UTC-day lakes)",
+    )
 
     e = sub.add_parser("erase", help="GDPR-style targeted key erasure")
     e.add_argument("--lake", required=True)
@@ -558,7 +564,41 @@ def main(argv: list[str] | None = None) -> int:
             ok = len(got) == len(exp) and bool(
                 (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
             )
-            print(json.dumps({"rows": len(got), "oracle_rows": len(exp), "sha256_match": ok}))
+            out = {"rows": len(got), "oracle_rows": len(exp), "sha256_match": ok}
+            if args.aggs:
+                from etl_ray.engine.aggregates import read_agg
+                from etl_ray.engine.lineage import LakeLineage
+                from etl_ray.oracle import expected_lang_daily, expected_repo_daily
+
+                lin = LakeLineage(args.lake)
+                tzoff = (lin.last_tick() or {}).get("tz_offset_minutes", 0)
+                gl = (
+                    read_agg(lin, "lang_daily_agg")
+                    .to_pandas()
+                    .sort_values(["day", "lang"])
+                    .reset_index(drop=True)
+                )
+                el = expected_lang_daily(
+                    WalInfo.load(args.wal), tz_offset_minutes=tzoff
+                ).to_pandas()
+                cols_l = ["day", "lang", "files_changed", "bytes", "distinct_repos"]
+                gr = (
+                    read_agg(lin, "repo_daily_agg")
+                    .to_pandas()
+                    .sort_values(["day", "repo"])
+                    .reset_index(drop=True)
+                )
+                er = expected_repo_daily(WalInfo.load(args.wal)).to_pandas()
+                cols_r = list(er.columns)
+                aggs_ok = (
+                    len(gl) == len(el)
+                    and gl[cols_l].astype(object).equals(el[cols_l].astype(object))
+                    and len(gr) == len(er)
+                    and gr[cols_r].astype(object).equals(er[cols_r].astype(object))
+                )
+                out["aggs_match"] = bool(aggs_ok)
+                ok = ok and aggs_ok
+            print(json.dumps(out))
             return 0 if ok else 1
     finally:
         ray.shutdown()
