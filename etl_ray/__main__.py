@@ -588,7 +588,9 @@ def main(argv: list[str] | None = None) -> int:
                     .sort_values(["day", "repo"])
                     .reset_index(drop=True)
                 )
-                er = expected_repo_daily(WalInfo.load(args.wal)).to_pandas()
+                er = expected_repo_daily(
+                    WalInfo.load(args.wal), tz_offset_minutes=tzoff
+                ).to_pandas()
                 cols_r = list(er.columns)
                 aggs_ok = (
                     len(gl) == len(el)

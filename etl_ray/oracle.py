@@ -111,13 +111,15 @@ def expected_lang_daily(wal: WalInfo, tz_offset_minutes: int = 0) -> pa.Table:
     return tbl
 
 
-def expected_repo_daily(wal: WalInfo) -> pa.Table:
+def expected_repo_daily(wal: WalInfo, tz_offset_minutes: int = 0) -> pa.Table:
     """Expected (day, repo) aggregate over distinct-LSN events:
-    events, upserts, deletes, distinct_paths."""
+    events, upserts, deletes, distinct_paths. ``tz_offset_minutes`` moves
+    the day boundary to a per-table local midnight (matching
+    :func:`expected_lang_daily`)."""
     con = duckdb.connect()
     _wal_rel(con, wal)
     tbl = con.execute(
-        """
+        f"""
         WITH valid AS (
             SELECT * FROM wal
             WHERE op IN ('insert','update','delete')
@@ -128,7 +130,8 @@ def expected_repo_daily(wal: WalInfo) -> pa.Table:
                 SELECT *, row_number() OVER (PARTITION BY lsn ORDER BY lsn) rn
                 FROM valid) WHERE rn = 1
         )
-        SELECT strftime(commit_ts, '%Y-%m-%d') AS day, repo,
+        SELECT strftime(commit_ts + INTERVAL {int(tz_offset_minutes)} MINUTE,
+                        '%Y-%m-%d') AS day, repo,
                COUNT(*) AS events,
                COUNT(*) FILTER (op <> 'delete') AS upserts,
                COUNT(*) FILTER (op = 'delete') AS deletes,
