@@ -76,3 +76,68 @@ def test_crash_releases_lock(ray_session, small_wal, tmp_path):
     with pytest.raises(RuntimeError, match="injected crash"):
         eng.tick()
     assert not os.path.exists(os.path.join(lake, "_lock.json"))
+
+
+def test_erase_races_live_follow(ray_session, small_wal, tmp_path):
+    """A GDPR erase issued WHILE follow() is live-tailing: the writer lock
+    serializes them (erase retries until it lands between ticks), the warm
+    applier caches invalidate, and the erased keys stay gone after the
+    remaining segments apply."""
+    import os
+    import threading
+    import time as _time
+
+    from etl_ray.engine.export import final_state
+    from etl_ray.engine.maintenance import erase_keys
+    from etl_ray.wal import WalInfo
+
+    view_dir = str(tmp_path / "walview")
+    os.makedirs(view_dir, exist_ok=True)
+
+    def manifest_through(k: int) -> None:
+        WalInfo(
+            wal_dir=view_dir,
+            n_events=sum(s["rows"] for s in small_wal.segments[:k]),
+            n_base_events=small_wal.n_base_events,
+            evolve_lsn=small_wal.evolve_lsn,
+            segments=small_wal.segments[:k],
+            params=None,
+        ).save()
+
+    total = len(small_wal.segments)
+    manifest_through(2)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(view_dir, lake, num_buckets=8, concurrency=2, aggregate=False)
+    results: list = []
+    t = threading.Thread(
+        target=lambda: results.extend(
+            eng.follow(poll_interval_s=0.2, idle_timeout_s=6.0)
+        )
+    )
+    t.start()
+    # wait for the first committed tick, pick victims, erase under contention
+    while eng.lineage.last_tick() is None:
+        _time.sleep(0.1)
+    state = final_state(lake).to_pandas()
+    victims = [tuple(r) for r in state[["repo", "path"]].head(4).to_numpy()]
+    erased = None
+    for _ in range(200):
+        try:
+            erased = erase_keys(lake, victims)
+            break
+        except WriterLockError:
+            _time.sleep(0.1)
+    assert erased is not None, "erase never acquired the lock"
+    eng.invalidate_warm_state()  # out-of-band maintenance: drop warm caches
+    for k in range(3, total + 1):
+        _time.sleep(0.5)
+        manifest_through(k)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert sum(r.segments for r in results) == total
+
+    after = final_state(lake).to_pandas()
+    gone = set(victims)
+    assert not any(
+        (r, p) in gone for r, p in zip(after["repo"], after["path"])
+    ), "erase resurrected by events applied after it"
