@@ -34,9 +34,16 @@ def skew_report(lake_dir: str, *, top_k: int = 20) -> dict:
         return {"buckets": 0}
     rows = np.array([m["rows"] for m in mans], np.int64)
     live = np.array([m["live_rows"] for m in mans], np.int64)
-    mean = float(rows.mean())
+    # mean over the lake's CONFIGURED bucket count, not just the touched
+    # buckets — untouched buckets have no manifest, and ignoring them hides
+    # exactly the skew this report exists to surface (few hot keys → few
+    # manifests, all similar-sized → imbalance falsely reads 1.0)
+    last = lineage.last_tick() or {}
+    nb = int(last.get("num_buckets") or len(mans))
+    mean = float(rows.sum()) / max(nb, 1)
     stats = {
         "buckets": len(mans),
+        "num_buckets": nb,
         "state_rows": int(rows.sum()),
         "live_rows": int(live.sum()),
         "bucket_rows_min": int(rows.min()),
@@ -66,7 +73,7 @@ def skew_report(lake_dir: str, *, top_k: int = 20) -> dict:
 
     recs = []
     if stats["imbalance_max_over_mean"] > 2.0:
-        if stats.get("hottest_repo_fraction", 0) > 1.0 / len(mans):
+        if stats.get("hottest_repo_fraction", 0) > 1.0 / nb:
             recs.append(
                 "a single repo dominates its bucket: split it with salt "
                 "cells (partitioning.salt_of) or key on (repo, path) shards"

@@ -25,3 +25,27 @@ def test_skew_report_matches_state(ray_session, small_wal, tmp_path):
     assert [g["live_rows"] for g in got] == exp.head(5).tolist()
     assert got[0]["repo"] == exp.index[0] or exp[got[0]["repo"]] == exp.iloc[0]
     assert 0 < rep["hottest_repo_fraction"] < 1
+
+
+def test_skew_recommendations_fire_on_hot_key(ray_session, tmp_path):
+    """A single dominant key produces bucket imbalance > 2x and a salt-cell
+    recommendation (the dominant-repo branch)."""
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal"),
+        seed=5,
+        n_events=20_000,
+        n_repos=1,
+        paths_per_repo=3,  # few keys in 8 buckets → guaranteed imbalance
+        delete_rate=0.0,
+        segment_rows=20_000,
+        days_span=2,
+    )
+    lake = str(tmp_path / "lake")
+    ReplayEngine(wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    rep = skew_report(lake, top_k=1)
+    assert rep["imbalance_max_over_mean"] > 2.0
+    assert rep["hottest_repo_fraction"] == 1.0
+    assert rep["recommendations"], "expected a salt/rebucket recommendation"
+    assert "salt" in rep["recommendations"][0]
