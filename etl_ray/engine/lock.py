@@ -62,6 +62,7 @@ def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
         "op": op,
         "ts": time.time(),
     }
+    bad_reads = 0
     for _ in range(8):  # bounded retries around break-and-reacquire races
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -72,10 +73,16 @@ def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
             try:
                 with open(path) as f:
                     info = json.load(f)
+                bad_reads = 0
             except (OSError, ValueError):
-                info = None  # holder mid-write or mid-release: retry
-                time.sleep(0.05)
-                continue
+                # holder mid-write/mid-release — retry; but a PERSISTENTLY
+                # unreadable file is a torn write from a crashed holder and
+                # must be breakable, not a livelock
+                bad_reads += 1
+                if bad_reads < 3:
+                    time.sleep(0.05)
+                    continue
+                info = None  # falls through to _is_stale → breakable
             if _is_stale(info, ttl_s):
                 with contextlib.suppress(OSError):
                     os.remove(path)  # break it; loop re-races for O_EXCL

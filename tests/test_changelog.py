@@ -231,3 +231,20 @@ def test_purge_distributed_path(ray_session, small_wal, tmp_path):
     a = _feed_df(lake).drop(columns=[]).reset_index(drop=True)
     b = _feed_df(lake2).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_feed_tick_range_filters(feed_lake):
+    """from_tick/to_tick bound the feed; union of disjoint ranges == whole."""
+    whole = _feed_df(feed_lake)
+    ticks = sorted(whole["tick"].unique())
+    assert len(ticks) >= 2
+    lo = _feed_df(feed_lake, to_tick=ticks[0])
+    hi = _feed_df(feed_lake, from_tick=ticks[0] + 1)
+    assert set(lo["tick"].unique()) == {ticks[0]}
+    assert set(hi["tick"].unique()) == set(ticks[1:])
+    both = (
+        pd.concat([lo, hi], ignore_index=True)
+        .sort_values(["tick", "lsn", "repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(both, whole)

@@ -141,3 +141,13 @@ def test_erase_races_live_follow(ray_session, small_wal, tmp_path):
     assert not any(
         (r, p) in gone for r, p in zip(after["repo"], after["path"])
     ), "erase resurrected by events applied after it"
+
+
+def test_torn_lock_file_is_broken(ray_session, small_wal, tmp_path):
+    """A torn/corrupt _lock.json (crash mid-write) counts as breakable."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    with open(os.path.join(lake, "_lock.json"), "w") as f:
+        f.write("{not json")
+    eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
+    assert eng.tick() is not None
