@@ -15,6 +15,11 @@ Aggregates start EMPTY: a snapshot has no event stream, so day partitions
 cover post-bootstrap activity only (deterministic — the agg-log fast path
 sees a complete log of every post-bootstrap segment tick). When the full
 WAL is actually available, ``recompute-aggs --day`` heals any day from it.
+The change data feed likewise starts at the bootstrap point: snapshot rows
+never enter it, so ``fold_feed`` alone cannot reconstruct a bootstrapped
+lake — consumers seed from the snapshot (or an ``export``) and apply the
+feed from there; the ``feed_consistency`` audit check skips bootstrap
+lakes for exactly this reason.
 
 Pipeline: ``read_parquet(snapshot) → prep (lsn/deleted/bucket) → hash
 repartition on the bucket → MergeApplier pool (no prior state) → publish
