@@ -248,3 +248,67 @@ def test_feed_tick_range_filters(feed_lake):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(both, whole)
+
+
+def test_feed_matches_duckdb_oracle(feed_lake, small_wal):
+    """Independent SQL oracle for the feed: for each committed tick T with
+    WAL prefix P_T, the per-key winners of P_T that differ from P_{T-1}'s
+    (by winning LSN) are exactly the tick's feed rows — ops included."""
+    import duckdb
+
+    from etl_ray.engine.lineage import LakeLineage
+
+    con = duckdb.connect()
+
+    def winners(through_seqno):
+        files = [s["file"] for s in small_wal.segments if s["seqno"] <= through_seqno]
+        if not files:
+            return pd.DataFrame(columns=["repo", "path", "lsn", "deleted"])
+        fl = ", ".join(f"'{f}'" for f in files)
+        return con.execute(
+            f"""
+            SELECT repo, path, lsn, (op = 'delete') AS deleted FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY lsn DESC) rn
+                FROM read_parquet([{fl}], union_by_name=true)
+                WHERE op IN ('insert','update','delete')
+                  AND repo IS NOT NULL AND path IS NOT NULL AND lsn IS NOT NULL
+            ) WHERE rn = 1
+            """
+        ).df()
+
+    ticks = LakeLineage(feed_lake).all_ticks()
+    prev_seq = None
+    checked = 0
+    for t in ticks:
+        if not t.get("segments"):
+            continue
+        cur = winners(t["through_seqno"]).set_index(["repo", "path"])
+        prev = (
+            winners(prev_seq)
+            if prev_seq is not None
+            else pd.DataFrame(columns=["repo", "path", "lsn", "deleted"])
+        ).set_index(["repo", "path"])
+        prev_seq = t["through_seqno"]
+        j = cur.join(prev, rsuffix="_p", how="left")
+        changed = j[j["lsn"] != j["lsn_p"].fillna(-1)] if "lsn_p" in j else j
+        prev_live = (~changed["deleted_p"].fillna(True).astype(bool)) if "deleted_p" in changed else pd.Series(False, index=changed.index)
+        exp_op = pd.Series(
+            ["delete" if d else ("update" if pl else "insert")
+             for d, pl in zip(changed["deleted"], prev_live)],
+            index=changed.index,
+        )
+        exp = (
+            changed.assign(change_op=exp_op)[["lsn", "change_op"]]
+            .reset_index()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        got = _feed_df(feed_lake, from_tick=t["tick"], to_tick=t["tick"])[
+            ["repo", "path", "lsn", "change_op"]
+        ].sort_values(["repo", "path"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"lsn": "int64"}), obj=f"tick {t['tick']}"
+        )
+        checked += 1
+    assert checked >= 2
