@@ -712,11 +712,21 @@ class ReplayEngine:
         sealing policy itself). Reloads the manifest each poll; returns
         once no new sealed segment arrives within ``idle_timeout_s`` (the
         force-close analog) or after ``max_ticks``."""
+        from .lock import WriterLockError
+
         results: list[TickResult] = []
         idle_since = time.monotonic()
         while True:
             self.wal = WalInfo.load(self.wal.wal_dir)  # new sealed segments?
-            r = self.tick(segments_per_tick)
+            try:
+                r = self.tick(segments_per_tick)
+            except WriterLockError:
+                # a maintenance op (erase/compact/rebucket) holds the lake —
+                # that's interleaving, not failure: retry next poll. The
+                # idle clock keeps running so a PERMANENTLY held lock still
+                # ends the tail at idle_timeout instead of spinning forever.
+                time.sleep(poll_interval_s)
+                continue
             if r is not None:
                 results.append(r)
                 idle_since = time.monotonic()

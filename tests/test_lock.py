@@ -111,7 +111,7 @@ def test_erase_races_live_follow(ray_session, small_wal, tmp_path):
     results: list = []
     t = threading.Thread(
         target=lambda: results.extend(
-            eng.follow(poll_interval_s=0.2, idle_timeout_s=6.0)
+            eng.follow(poll_interval_s=0.2, idle_timeout_s=10.0)
         )
     )
     t.start()
