@@ -239,6 +239,15 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--lake", required=True)
     sk.add_argument("--top", type=int, default=20)
 
+    qr = sub.add_parser(
+        "quarantine",
+        help="export quarantined (malformed) rows with their reasons — the "
+        "dead-letter inspection surface",
+    )
+    qr.add_argument("--lake", required=True)
+    qr.add_argument("--out", required=True)
+    qr.add_argument("--tick", type=int, default=None, help="one tick only")
+
     cl = sub.add_parser(
         "changelog", help="export the change data feed (committed ticks only)"
     )
@@ -501,6 +510,28 @@ def main(argv: list[str] | None = None) -> int:
             from etl_ray.engine.diagnostics import skew_report
 
             print(json.dumps(skew_report(args.lake, top_k=args.top)))
+        elif args.cmd == "quarantine":
+            import glob as _g
+
+            import pyarrow.parquet as _pq
+
+            pat = (
+                f"tick-{args.tick:06d}" if args.tick is not None else "tick-*"
+            )
+            files = sorted(
+                _g.glob(os.path.join(args.lake, "_quarantine", pat, "*.parquet"))
+            )
+            n = 0
+            if files:
+                import ray.data as _rd
+
+                ds = _rd.read_parquet(files, partitioning=None)
+                ds.write_parquet(args.out)
+                n = sum(
+                    _pq.ParquetFile(f).metadata.num_rows
+                    for f in _g.glob(os.path.join(args.out, "*.parquet"))
+                )
+            print(json.dumps({"rows": n, "out": args.out}))
         elif args.cmd == "changelog":
             from etl_ray.engine.changelog import (
                 committed_changelog_files,
