@@ -20,6 +20,44 @@ import os
 import sys
 
 
+def _fresh_out_dir(p, out: str) -> None:
+    """Refuse writes into a non-empty existing directory: Ray writers name
+    files with per-execution prefixes and never clean the target, so a
+    re-run would silently MIX two runs' files (and inflate row counts)."""
+    if os.path.isdir(out) and os.listdir(out):
+        p.error(
+            f"--out {out!r} exists and is not empty; write to a fresh "
+            "directory (or use export --atomic, which swaps atomically)"
+        )
+
+
+def _count_written_rows(out_dir: str) -> int:
+    """Rows in the files THIS run just wrote (the out dir is guaranteed
+    fresh by _fresh_out_dir). parquet: footer metadata. jsonl: physical
+    lines (string newlines are \\n-escaped by the JSON writer). csv: a
+    streaming pyarrow.csv pass — content columns contain quoted embedded
+    newlines, so raw byte counting would over-count."""
+    rows = 0
+    for fn in os.listdir(out_dir):
+        fp = os.path.join(out_dir, fn)
+        if fn.endswith(".parquet"):
+            import pyarrow.parquet as _pq
+
+            rows += _pq.ParquetFile(fp).metadata.num_rows
+        elif fn.endswith(".jsonl"):
+            with open(fp, "rb") as f:
+                rows += sum(
+                    ch.count(b"\n") for ch in iter(lambda: f.read(1 << 20), b"")
+                )
+        elif fn.endswith(".csv"):
+            from pyarrow import csv as _pacsv
+
+            with _pacsv.open_csv(fp) as reader:
+                for batch in reader:
+                    rows += batch.num_rows
+    return rows
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -220,6 +258,13 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="LSN stamped on snapshot rows when the table has no lsn column "
         "(choose the snapshot's high watermark)",
+    )
+    bs.add_argument(
+        "--hive-partitioning",
+        action="store_true",
+        help="materialize key=value directory components as real columns "
+        "(Spark/Hive-partitioned snapshots whose partition column lives "
+        "only in the path)",
     )
 
     ra = sub.add_parser(
@@ -458,21 +503,11 @@ def main(argv: list[str] | None = None) -> int:
                 os.rename(staging, args.out)
                 _sh.rmtree(old, ignore_errors=True)
             else:
+                _fresh_out_dir(p, args.out)
                 _write(args.out)
             # count from the WRITTEN files — ds.count() would re-execute the
             # whole export pipeline (incl. the per-row sha stage) a 2nd time
-            rows = 0
-            for fn in os.listdir(args.out):
-                fp = os.path.join(args.out, fn)
-                if fn.endswith(".parquet"):
-                    import pyarrow.parquet as _pq
-
-                    rows += _pq.ParquetFile(fp).metadata.num_rows
-                elif fn.endswith((".csv", ".jsonl")):
-                    with open(fp, "rb") as f:
-                        n = sum(ch.count(b"\n") for ch in iter(lambda: f.read(1 << 20), b""))
-                    rows += max(0, n - 1) if fn.endswith(".csv") else n
-            print(json.dumps({"rows": rows, "out": args.out}))
+            print(json.dumps({"rows": _count_written_rows(args.out), "out": args.out}))
         elif args.cmd == "bootstrap":
             from etl_ray.engine.bootstrap import bootstrap_lake
 
@@ -484,6 +519,7 @@ def main(argv: list[str] | None = None) -> int:
                         num_buckets=args.buckets,
                         through_seqno=args.through_seqno,
                         default_lsn=args.default_lsn,
+                        hive_partitioning=args.hive_partitioning,
                     )
                 )
             )
@@ -525,12 +561,10 @@ def main(argv: list[str] | None = None) -> int:
             if files:
                 import ray.data as _rd
 
+                _fresh_out_dir(p, args.out)
                 ds = _rd.read_parquet(files, partitioning=None)
                 ds.write_parquet(args.out)
-                n = sum(
-                    _pq.ParquetFile(f).metadata.num_rows
-                    for f in _g.glob(os.path.join(args.out, "*.parquet"))
-                )
+                n = _count_written_rows(args.out)
             print(json.dumps({"rows": n, "out": args.out}))
         elif args.cmd == "changelog":
             from etl_ray.engine.changelog import (
@@ -542,20 +576,14 @@ def main(argv: list[str] | None = None) -> int:
             files = committed_changelog_files(args.lake, args.from_tick, args.to_tick)
             n = 0
             if files:
+                _fresh_out_dir(p, args.out)
                 ds = (
                     fold_feed(args.lake, args.from_tick, args.to_tick)
                     if args.fold
                     else read_changelog(args.lake, args.from_tick, args.to_tick)
                 )
                 ds.write_parquet(args.out)
-                import glob as _g
-
-                import pyarrow.parquet as _pq
-
-                n = sum(
-                    _pq.ParquetFile(f).metadata.num_rows
-                    for f in _g.glob(os.path.join(args.out, "*.parquet"))
-                )
+                n = _count_written_rows(args.out)
             print(json.dumps({"rows": n, "out": args.out, "fold": args.fold}))
         elif args.cmd == "rebucket":
             from etl_ray.engine.maintenance import rebucket
@@ -602,9 +630,27 @@ def main(argv: list[str] | None = None) -> int:
                 from etl_ray.oracle import expected_lang_daily, expected_repo_daily
 
                 lin = LakeLineage(args.lake)
-                tzoff = (lin.last_tick() or {}).get("tz_offset_minutes", 0)
+                # maintenance ticks (erase/rebucket/compact) don't record
+                # the tz offset — take it from the latest tick that does,
+                # or a post-maintenance verify on a tz lake falsely fails
+                tzoff = next(
+                    (
+                        t["tz_offset_minutes"]
+                        for t in reversed(lin.all_ticks())
+                        if "tz_offset_minutes" in t
+                    ),
+                    0,
+                )
+                gl_t = read_agg(lin, "lang_daily_agg")
+                gr_t = read_agg(lin, "repo_daily_agg")
+                if gl_t.num_rows == 0 or gr_t.num_rows == 0:
+                    # e.g. a bootstrap-seeded lake: aggregates start empty
+                    out["aggs_match"] = False
+                    out["aggs_note"] = "aggregate tables empty or missing"
+                    print(json.dumps(out))
+                    return 1
                 gl = (
-                    read_agg(lin, "lang_daily_agg")
+                    gl_t
                     .to_pandas()
                     .sort_values(["day", "lang"])
                     .reset_index(drop=True)
@@ -614,7 +660,7 @@ def main(argv: list[str] | None = None) -> int:
                 ).to_pandas()
                 cols_l = ["day", "lang", "files_changed", "bytes", "distinct_repos"]
                 gr = (
-                    read_agg(lin, "repo_daily_agg")
+                    gr_t
                     .to_pandas()
                     .sort_values(["day", "repo"])
                     .reset_index(drop=True)

@@ -45,11 +45,17 @@ def bootstrap_lake(
     through_seqno: int = -1,
     default_lsn: int = 0,
     concurrency: int | tuple[int, int] | None = None,
+    hive_partitioning: bool = False,
 ) -> dict:
     """Import ``table_path`` (parquet file/dir with at least repo, path
     columns) as the lake's initial state. ``through_seqno`` is the WAL
     segment the snapshot corresponds to — replay resumes strictly after it.
-    Refuses a non-empty lake (bootstrap is an attach, not a merge)."""
+    Refuses a non-empty lake (bootstrap is an attach, not a merge).
+
+    ``hive_partitioning=True`` materializes ``key=value`` directory
+    components as real columns — for snapshots whose partition columns live
+    only in the directory names (Spark/Hive exports). Default False: a
+    copied lake layout (``buckets/b=*/``) must not gain a phantom column."""
     import ray
     import ray.data
     from ray.data.context import DataContext, ShuffleStrategy
@@ -91,10 +97,14 @@ def bootstrap_lake(
             hi = max(1, min(cpus - 2, num_buckets))
             if isinstance(concurrency, int):
                 hi = min(hi, concurrency)
-            # partitioning=None: a snapshot under key=value directories
+            if hive_partitioning:
+                src = ray.data.read_parquet(table_path)
+            else:
+                src = ray.data.read_parquet(table_path, partitioning=None)
+            # default partitioning=None: a snapshot under key=value directories
             # (date=…, or a copy of a lake's own buckets/b=*/ layout) must
-            # not hive-infer phantom columns into the tick-0 state
-            src = ray.data.read_parquet(table_path, partitioning=None)
+            # not hive-infer phantom columns into the tick-0 state;
+            # hive_partitioning=True opts in for genuinely partitioned exports
             ds = src.map_batches(
                 prep, batch_format="pyarrow", zero_copy_batch=True
             ).repartition(num_buckets, keys=[BUCKET_COL])

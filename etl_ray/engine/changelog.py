@@ -317,6 +317,7 @@ def fold_feed(
     to_tick: int | None = None,
     *,
     num_partitions: int = 16,
+    keep_deletes: bool | None = None,
 ):
     """Fold the feed back into a live-state Dataset — the reference consumer
     implementation (downstream materialization from the change stream).
@@ -326,7 +327,14 @@ def fold_feed(
     feed describes; keys whose winning record is a delete/erase drop out.
     Shape: per-batch LWW combiner (a hot key sends ≤1 row per input batch)
     → one hash shuffle on the key → per-partition LWW + filter. Same
-    single-shuffle skeleton as the engine itself."""
+    single-shuffle skeleton as the engine itself.
+
+    ``keep_deletes``: dropping tombstones is only sound for a FULL-history
+    fold — a ranged fold (``from_tick`` set) that dropped them would lose
+    deletions entirely, and a consumer merging the result onto an older
+    snapshot would keep deleted keys alive forever. Default: deletes are
+    kept (with ``change_op``) whenever ``from_tick`` is set, dropped on a
+    full fold."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -336,11 +344,18 @@ def fold_feed(
     if not files:
         return ray.data.from_items([])
 
+    if keep_deletes is None:
+        keep_deletes = from_tick is not None
+
     def combine(t):
         return last_writer(t, keys=KEYS)
 
     def finish(t):
         t = last_writer(t, keys=KEYS)
+        if keep_deletes:
+            # ranged fold = an incremental MERGE table: the per-key latest
+            # record including tombstones, change_op retained
+            return t.drop_columns([TICK_COL])
         keep = pc.invert(
             pc.is_in(t[CHANGE_OP_COL], value_set=pa.array(["delete", "erase"]))
         )

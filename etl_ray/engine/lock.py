@@ -86,6 +86,11 @@ def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
             if _is_stale(info, ttl_s):
                 with contextlib.suppress(OSError):
                     os.remove(path)  # break it; loop re-races for O_EXCL
+                # the torn-read counter must restart: after a break, the
+                # next file is a DIFFERENT (possibly live, mid-write)
+                # holder's — carrying the count over would let one torn
+                # read mark it stale and remove a live writer's lock
+                bad_reads = 0
                 continue
             raise WriterLockError(
                 f"lake {lake_dir!r} is locked by {info.get('op')!r} "

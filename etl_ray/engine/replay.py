@@ -725,6 +725,8 @@ class ReplayEngine:
                 # that's interleaving, not failure: retry next poll. The
                 # idle clock keeps running so a PERMANENTLY held lock still
                 # ends the tail at idle_timeout instead of spinning forever.
+                if time.monotonic() - idle_since >= idle_timeout_s:
+                    break
                 time.sleep(poll_interval_s)
                 continue
             if r is not None:

