@@ -20,14 +20,14 @@ import os
 import sys
 
 
-def _fresh_out_dir(p, out: str) -> None:
+def _fresh_out_dir(p, out: str, atomic_hint: bool = False) -> None:
     """Refuse writes into a non-empty existing directory: Ray writers name
     files with per-execution prefixes and never clean the target, so a
     re-run would silently MIX two runs' files (and inflate row counts)."""
     if os.path.isdir(out) and os.listdir(out):
+        hint = " (or use --atomic, which swaps atomically)" if atomic_hint else ""
         p.error(
-            f"--out {out!r} exists and is not empty; write to a fresh "
-            "directory (or use export --atomic, which swaps atomically)"
+            f"--out {out!r} exists and is not empty; write to a fresh directory{hint}"
         )
 
 
@@ -50,6 +50,8 @@ def _count_written_rows(out_dir: str) -> int:
                     ch.count(b"\n") for ch in iter(lambda: f.read(1 << 20), b"")
                 )
         elif fn.endswith(".csv"):
+            if os.path.getsize(fp) == 0:
+                continue  # a 0-byte part (empty block) is 0 rows, not an error
             from pyarrow import csv as _pacsv
 
             with _pacsv.open_csv(fp) as reader:
@@ -503,7 +505,7 @@ def main(argv: list[str] | None = None) -> int:
                 os.rename(staging, args.out)
                 _sh.rmtree(old, ignore_errors=True)
             else:
-                _fresh_out_dir(p, args.out)
+                _fresh_out_dir(p, args.out, atomic_hint=True)
                 _write(args.out)
             # count from the WRITTEN files — ds.count() would re-execute the
             # whole export pipeline (incl. the per-row sha stage) a 2nd time
@@ -539,7 +541,9 @@ def main(argv: list[str] | None = None) -> int:
                     lin,
                     set(args.day),
                     last["through_seqno"],
-                    tz_offset_minutes=last.get("tz_offset_minutes", 0),
+                    # NOT last_tick's: a maintenance tick would yield 0 and
+                    # silently mis-bucket the rewritten day partitions
+                    tz_offset_minutes=lin.latest_tz_offset(),
                 )
             print(json.dumps(res))
         elif args.cmd == "skew":
@@ -633,31 +637,32 @@ def main(argv: list[str] | None = None) -> int:
                 # maintenance ticks (erase/rebucket/compact) don't record
                 # the tz offset — take it from the latest tick that does,
                 # or a post-maintenance verify on a tz lake falsely fails
-                tzoff = next(
-                    (
-                        t["tz_offset_minutes"]
-                        for t in reversed(lin.all_ticks())
-                        if "tz_offset_minutes" in t
-                    ),
-                    0,
-                )
+                tzoff = lin.latest_tz_offset()
                 gl_t = read_agg(lin, "lang_daily_agg")
                 gr_t = read_agg(lin, "repo_daily_agg")
+                el = expected_lang_daily(
+                    WalInfo.load(args.wal), tz_offset_minutes=tzoff
+                ).to_pandas()
+                er = expected_repo_daily(
+                    WalInfo.load(args.wal), tz_offset_minutes=tzoff
+                ).to_pandas()
                 if gl_t.num_rows == 0 or gr_t.num_rows == 0:
-                    # e.g. a bootstrap-seeded lake: aggregates start empty
-                    out["aggs_match"] = False
-                    out["aggs_note"] = "aggregate tables empty or missing"
+                    # empty==empty is a genuine match (e.g. a WAL with no
+                    # agg-relevant events); only a NON-empty oracle makes
+                    # empty tables a failure (e.g. a bootstrap-seeded lake)
+                    aggs_ok = len(el) == 0 and len(er) == 0
+                    out["aggs_match"] = bool(aggs_ok)
+                    if not aggs_ok:
+                        out["aggs_note"] = "aggregate tables empty or missing"
+                    ok = ok and aggs_ok
                     print(json.dumps(out))
-                    return 1
+                    return 0 if ok else 1
                 gl = (
                     gl_t
                     .to_pandas()
                     .sort_values(["day", "lang"])
                     .reset_index(drop=True)
                 )
-                el = expected_lang_daily(
-                    WalInfo.load(args.wal), tz_offset_minutes=tzoff
-                ).to_pandas()
                 cols_l = ["day", "lang", "files_changed", "bytes", "distinct_repos"]
                 gr = (
                     gr_t
@@ -665,9 +670,6 @@ def main(argv: list[str] | None = None) -> int:
                     .sort_values(["day", "repo"])
                     .reset_index(drop=True)
                 )
-                er = expected_repo_daily(
-                    WalInfo.load(args.wal), tz_offset_minutes=tzoff
-                ).to_pandas()
                 cols_r = list(er.columns)
                 aggs_ok = (
                     len(gl) == len(el)

@@ -311,6 +311,22 @@ def read_changelog(
     return ray.data.read_parquet(files)
 
 
+def feed_covers_from_start(lake_dir: str) -> bool:
+    """True iff no retention gap: every committed tick that recorded feed
+    rows still has its directory on disk. Only then does a full fold see
+    every insert/update/delete since the lake began."""
+    from .lineage import LakeLineage
+
+    ticks = LakeLineage(lake_dir).all_ticks()
+    need = {t["tick"] for t in ticks if t.get("changelog_rows", 0) > 0}
+    have = set()
+    for d in glob.glob(os.path.join(lake_dir, "_changelog", "t*")):
+        m = re.search(r"t(\d+)$", d)
+        if m:
+            have.add(int(m.group(1)))
+    return need <= have
+
+
 def fold_feed(
     lake_dir: str,
     from_tick: int | None = None,
@@ -329,12 +345,13 @@ def fold_feed(
     → one hash shuffle on the key → per-partition LWW + filter. Same
     single-shuffle skeleton as the engine itself.
 
-    ``keep_deletes``: dropping tombstones is only sound for a FULL-history
-    fold — a ranged fold (``from_tick`` set) that dropped them would lose
-    deletions entirely, and a consumer merging the result onto an older
-    snapshot would keep deleted keys alive forever. Default: deletes are
-    kept (with ``change_op``) whenever ``from_tick`` is set, dropped on a
-    full fold."""
+    ``keep_deletes``: dropping tombstones is only sound when the fold sees
+    the COMPLETE history — otherwise a consumer merging the result onto an
+    older snapshot keeps deleted keys alive forever. Default: tombstones
+    (with ``change_op``) are kept unless the fold genuinely starts at the
+    lake's beginning (``from_tick`` unset or ≤ the earliest committed tick)
+    AND no feed directory was dropped by retention GC
+    (:func:`feed_covers_from_start`)."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -345,7 +362,12 @@ def fold_feed(
         return ray.data.from_items([])
 
     if keep_deletes is None:
-        keep_deletes = from_tick is not None
+        from .lineage import LakeLineage
+
+        ticks = LakeLineage(lake_dir).all_ticks()
+        earliest = min((t["tick"] for t in ticks), default=0)
+        effective_full = from_tick is None or from_tick <= earliest
+        keep_deletes = not (effective_full and feed_covers_from_start(lake_dir))
 
     def combine(t):
         return last_writer(t, keys=KEYS)

@@ -144,6 +144,17 @@ class LakeLineage:
         one ``lateness_bound`` of tombstone protection."""
         return tick.get("wal_through_lsn", tick["applied_through_lsn"])
 
+    def latest_tz_offset(self) -> int:
+        """The lake's aggregate-day tz offset: from the LATEST tick that
+        records it. Maintenance ticks (erasure/rebucket/compaction) don't
+        carry the field — reading ``last_tick()`` directly returns 0 after
+        any maintenance op on a tz lake, which mis-buckets recomputed days
+        and falsely fails aggregate verification."""
+        for t in reversed(self.all_ticks()):
+            if "tz_offset_minutes" in t:
+                return int(t["tz_offset_minutes"])
+        return 0
+
     def all_ticks(self) -> list[dict]:
         out = []
         for p in sorted(glob.glob(os.path.join(self.ticks_dir, "tick-*.json"))):

@@ -46,6 +46,10 @@ def _is_stale(info: dict, ttl_s: float) -> bool:
                 os.kill(pid, 0)
             except OSError:
                 return True  # holder died on this host
+            # verified ALIVE on this host: never stale — the TTL is only
+            # the cross-host fallback (a long single-acquisition op like a
+            # big rebucket must not have its live lock broken at ttl_s)
+            return False
     ts = info.get("ts", 0)
     return (time.time() - ts) > ttl_s
 
@@ -84,8 +88,22 @@ def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
                     continue
                 info = None  # falls through to _is_stale → breakable
             if _is_stale(info, ttl_s):
-                with contextlib.suppress(OSError):
-                    os.remove(path)  # break it; loop re-races for O_EXCL
+                # FENCED break: rename-to-unique first. Two waiters that
+                # both judged the old lock stale race here — exactly ONE
+                # rename succeeds; the loser's raises (src gone) and it
+                # loops to re-read whatever lock now exists. A plain
+                # os.remove would let the slower breaker delete the faster
+                # one's freshly ACQUIRED live lock (double-writer hazard).
+                import uuid as _uuid
+
+                try:
+                    broken = path + f".broken-{_uuid.uuid4().hex}"
+                    os.rename(path, broken)
+                except OSError:
+                    pass  # someone else broke (or released) it first
+                else:
+                    with contextlib.suppress(OSError):
+                        os.remove(broken)
                 # the torn-read counter must restart: after a break, the
                 # next file is a DIFFERENT (possibly live, mid-write)
                 # holder's — carrying the count over would let one torn

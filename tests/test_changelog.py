@@ -327,7 +327,9 @@ def test_ranged_fold_keeps_delete_markers(feed_lake):
 
     inc = fold_feed(feed_lake, from_tick=cut, num_partitions=4).to_pandas()
     assert "change_op" in inc.columns, "ranged fold must keep ops"
-    assert (inc["change_op"] == "delete").any() or True  # ops retained
+    # the fixture (delete_rate=0.06, multi-tick) must actually exercise
+    # delete retention — a vacuous pass here would hide a regression
+    assert (inc["change_op"] == "delete").any(), "fixture lacks post-cut deletes"
     # consumer merge: pre-range live state + increment (LWW, deletes win)
     base = _fold_feed(whole[whole["tick"] < cut])
     merged = pd.concat(
