@@ -565,8 +565,19 @@ def main(argv: list[str] | None = None) -> int:
             if files:
                 import ray.data as _rd
 
+                from etl_ray.engine.schema_evo import align_to, unify_schemas
+
                 _fresh_out_dir(p, args.out)
-                ds = _rd.read_parquet(files, partitioning=None)
+                # quarantine parts are aligned to each TICK's own target
+                # schema; under mid-stream evolution the cross-tick set is
+                # heterogeneous — unify first, align every batch, so the
+                # combined read can't fail or mis-align columns
+                uni = unify_schemas([_pq.read_schema(f) for f in files])
+                ds = _rd.read_parquet(files, partitioning=None).map_batches(
+                    lambda t, _s=uni: align_to(t, _s),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
                 ds.write_parquet(args.out)
                 n = _count_written_rows(args.out)
             print(json.dumps({"rows": n, "out": args.out}))

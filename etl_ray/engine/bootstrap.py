@@ -97,6 +97,8 @@ def bootstrap_lake(
             hi = max(1, min(cpus - 2, num_buckets))
             if isinstance(concurrency, int):
                 hi = min(hi, concurrency)
+            elif isinstance(concurrency, tuple):
+                hi = min(hi, concurrency[1])
             if hive_partitioning:
                 src = ray.data.read_parquet(table_path)
             else:

@@ -36,6 +36,21 @@ def _lock_path(lake_dir: str) -> str:
     return os.path.join(lake_dir, "_lock.json")
 
 
+def _proc_start_ticks(pid: int) -> int | None:
+    """Kernel start time (clock ticks) of ``pid``, or None if unreadable.
+
+    Distinguishes a live holder from an unrelated process that recycled its
+    pid: same pid + same start ticks == same process. /proc/<pid>/stat field
+    22, counted after the parenthesized comm (which may contain spaces).
+    """
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            raw = f.read()
+        return int(raw[raw.rindex(b")") + 2 :].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _is_stale(info: dict, ttl_s: float) -> bool:
     if not isinstance(info, dict):
         return True  # unreadable/torn lock: treat as breakable
@@ -46,10 +61,22 @@ def _is_stale(info: dict, ttl_s: float) -> bool:
                 os.kill(pid, 0)
             except OSError:
                 return True  # holder died on this host
-            # verified ALIVE on this host: never stale — the TTL is only
-            # the cross-host fallback (a long single-acquisition op like a
-            # big rebucket must not have its live lock broken at ttl_s)
-            return False
+            # pid is alive — but pids recycle. Only trust "alive" as
+            # "holder alive" when the kernel start time matches the one
+            # recorded at acquisition; a mismatch means an unrelated
+            # process inherited the pid and the real holder is gone.
+            rec = info.get("pid_start")
+            cur = _proc_start_ticks(pid)
+            if rec is not None and cur is not None:
+                if cur != rec:
+                    return True  # pid recycled: holder is dead
+                # verified SAME live process: never stale — the TTL is
+                # only the cross-host fallback (a long single-acquisition
+                # op like a big rebucket must not be broken at ttl_s)
+                return False
+            # Can't prove identity (old-format lock or no /proc): fall
+            # through to the TTL so a recycled pid can't pin the lake
+            # forever (ADVICE r3: 'alive' pid probe bypassing TTL).
     ts = info.get("ts", 0)
     return (time.time() - ts) > ttl_s
 
@@ -62,6 +89,7 @@ def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
     path = _lock_path(lake_dir)
     payload = {
         "pid": os.getpid(),
+        "pid_start": _proc_start_ticks(os.getpid()),
         "host": socket.gethostname(),
         "op": op,
         "ts": time.time(),
@@ -121,5 +149,17 @@ def writer_lock(lake_dir: str, op: str, *, ttl_s: float = 3600.0):
     try:
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(path)
+        # Ownership-checked release: if this op outlived ttl_s and a waiter
+        # fence-broke + reacquired, the file on disk is the NEW holder's —
+        # deleting it would reopen the double-writer window the fenced
+        # break closed. Only remove a lock whose payload is ours.
+        with contextlib.suppress(OSError, ValueError):
+            with open(path) as f:
+                cur = json.load(f)
+            if (
+                isinstance(cur, dict)
+                and cur.get("pid") == payload["pid"]
+                and cur.get("host") == payload["host"]
+                and cur.get("ts") == payload["ts"]
+            ):
+                os.remove(path)

@@ -354,7 +354,9 @@ def _rebucket_locked(
         writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="snappy")
         try:
             for rg, (s, e) in enumerate(zip(starts, ends)):
-                writer.write_table(data.slice(s, e - s))
+                # one row group per bucket run (pyarrow would split >1M-row
+                # runs into unindexed extra groups — see replay.py)
+                writer.write_table(data.slice(s, e - s), row_group_size=e - s)
                 out_b.append(int(codes[s]))
                 out_rg.append(rg)
         finally:
@@ -569,7 +571,12 @@ def _compact_agglog_locked(lake_dir: str) -> dict:
             if len(first) < len(lsns):
                 t = t.take(pa.array(np.sort(first)))
             tmp = row["out"] + f".{os.getpid()}.tmp"
-            pq.write_table(t, tmp, compression="zstd")
+            # one row group covering the whole file: the index records
+            # {day: 0} and readers fetch only read_row_group(0), so the
+            # default ~1M-row split would silently drop the tail
+            pq.write_table(
+                t, tmp, compression="zstd", row_group_size=max(t.num_rows, 1)
+            )
             os.replace(tmp, row["out"])
             # index json LAST — readers discover the file through it
             _atomic_write_json(

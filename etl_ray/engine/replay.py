@@ -191,7 +191,11 @@ class ReplayEngine:
             writer = pq.ParquetWriter(path + ".tmp", data.schema, compression="snappy")
             try:
                 for rg, (s, e) in enumerate(zip(starts, ends)):
-                    writer.write_table(data.slice(s, e - s))
+                    # row_group_size must cover the whole slice: the rg
+                    # index assumes ONE group per run, but pyarrow splits
+                    # at ~1M rows by default — a bigger run would leave
+                    # its tail in an unindexed group readers never fetch
+                    writer.write_table(data.slice(s, e - s), row_group_size=e - s)
                     buckets_out.append(int(codes[s]))
                     rgs_out.append(rg)
                     rows_out.append(int(e - s))
@@ -258,7 +262,8 @@ class ReplayEngine:
                 writer = pq.ParquetWriter(fp + ".tmp", proj.schema, compression="snappy")
                 try:
                     for rg, (s, e) in enumerate(zip(starts, ends)):
-                        writer.write_table(proj.slice(s, e - s))
+                        # one row group per day run — see _write_bucket_rgs
+                        writer.write_table(proj.slice(s, e - s), row_group_size=e - s)
                         index[arr[s]] = rg
                 finally:
                     writer.close()

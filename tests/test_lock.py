@@ -151,3 +151,54 @@ def test_torn_lock_file_is_broken(ray_session, small_wal, tmp_path):
         f.write("{not json")
     eng = ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2)
     assert eng.tick() is not None
+
+
+def test_release_is_ownership_checked(tmp_path):
+    """A holder that outlived the TTL must not delete a NEW holder's lock on
+    release (ADVICE r3): after a fence-break + reacquire, the original
+    holder's exit leaves the new lock in place."""
+    import socket
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake, exist_ok=True)
+    lockf = os.path.join(lake, "_lock.json")
+    cm = writer_lock(lake, "slow-op")
+    cm.__enter__()
+    # simulate a waiter fence-breaking the (assumed stale) lock and
+    # acquiring its own
+    os.remove(lockf)
+    new_payload = {
+        "pid": os.getpid(),
+        "host": socket.gethostname(),
+        "op": "new-holder",
+        "ts": time.time() + 1,  # differs from the slow op's ts
+    }
+    with open(lockf, "w") as f:
+        json.dump(new_payload, f)
+    cm.__exit__(None, None, None)  # slow op finishes — must NOT remove
+    assert os.path.exists(lockf)
+    with open(lockf) as f:
+        assert json.load(f)["op"] == "new-holder"
+    os.remove(lockf)
+
+
+def test_recycled_pid_lock_breaks_via_ttl(tmp_path):
+    """Same-host pid-reuse (ADVICE r3): an alive pid with a DIFFERENT kernel
+    start time is a recycled pid — the holder is dead and the lock breaks
+    immediately; without start-time proof it falls to the TTL instead of
+    blocking forever."""
+    import socket
+
+    from etl_ray.engine.lock import _is_stale, _proc_start_ticks
+
+    me = os.getpid()
+    start = _proc_start_ticks(me)
+    assert isinstance(start, int)
+    base = {"pid": me, "host": socket.gethostname(), "op": "x", "ts": time.time()}
+    # genuine live holder: never stale
+    assert not _is_stale(dict(base, pid_start=start), ttl_s=0.0)
+    # recycled pid (start ticks differ): stale right away
+    assert _is_stale(dict(base, pid_start=start - 12345), ttl_s=3600.0)
+    # old-format lock (no pid_start): falls through to TTL
+    assert not _is_stale(dict(base), ttl_s=3600.0)
+    assert _is_stale(dict(base, ts=time.time() - 10.0), ttl_s=1.0)

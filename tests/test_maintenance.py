@@ -343,3 +343,69 @@ def test_compact_agglog_then_continue_replay(ray_session, small_wal, tmp_path):
     a = run(str(tmp_path / "compacted"), True)
     b = run(str(tmp_path / "control"), False)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_compact_agglog_day_over_one_rowgroup(ray_session, small_wal, tmp_path):
+    """ADVICE r3 (medium): a compacted day file larger than pyarrow's default
+    ~1M-row row-group split must still be FULLY readable through its
+    {day: 0} index — otherwise every row past the first group silently
+    vanishes from the daily aggregates after `compact --agglog`."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.maintenance import compact_agglog
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    lin = LakeLineage(lake)
+
+    # pick a real day and count its current log rows
+    some_idx = sorted(_glob.glob(os.path.join(lake, "_agglog", "t*.json")))[0]
+    with open(some_idx) as f:
+        day = sorted(_json.load(f).keys())[0]
+    # compaction dedups replayed duplicate LSNs — expect the UNIQUE count
+    base_rows = len(
+        {
+            lsn
+            for f, rg in lin.agglog_day_rgs(day)
+            for lsn in (
+                pq.read_table(f) if rg < 0 else pq.ParquetFile(f).read_row_group(rg)
+            )["lsn"].to_pylist()
+        }
+    )
+
+    # synthesize a 1.2M-row single-row-group log part for that day with
+    # fresh (non-duplicate) LSNs, matching the live schema
+    schema = pq.read_schema(some_idx[: -len(".json")] + ".parquet")
+    n = 1_200_000
+    lsn0 = 10**9
+    cols = {}
+    for fld in schema:
+        if fld.name == "lsn":
+            cols[fld.name] = pa.array(
+                np.arange(lsn0, lsn0 + n, dtype=np.int64)
+            ).cast(fld.type)
+        elif fld.name == "day":
+            cols[fld.name] = pa.array([day] * n).cast(fld.type)
+        elif pa.types.is_integer(fld.type) or pa.types.is_floating(fld.type):
+            cols[fld.name] = pa.array(np.ones(n, dtype=np.int64)).cast(fld.type)
+        else:
+            cols[fld.name] = pa.array(["x"] * n).cast(fld.type)
+    big = pa.table(cols).cast(schema)
+    bigp = os.path.join(lake, "_agglog", "t000999-bigday.parquet")
+    pq.write_table(big, bigp, row_group_size=n)
+    with open(bigp[: -len(".parquet")] + ".json", "w") as f:
+        _json.dump({day: 0}, f)
+
+    compact_agglog(lake)
+
+    rgs = lin.agglog_day_rgs(day)
+    assert len(rgs) == 1 and rgs[0][1] == 0
+    got = pq.ParquetFile(rgs[0][0]).read_row_group(0).num_rows
+    assert got == base_rows + n, f"lost {base_rows + n - got} rows past rg 0"
