@@ -295,6 +295,19 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--out", required=True)
     qr.add_argument("--tick", type=int, default=None, help="one tick only")
 
+    tb = sub.add_parser(
+        "tables-replay",
+        help="multi-table lake: replay every table of a TableSpec config "
+        "through one loop (per-app/per-event fan-out)",
+    )
+    tb.add_argument("--lake", required=True)
+    tb.add_argument("--config", required=True, help="JSON: {\"tables\": [...]}")
+    tb.add_argument("--segments-per-tick", type=int, default=None)
+
+    ts = sub.add_parser("tables-status", help="per-table lineage of a multi-table lake")
+    ts.add_argument("--lake", required=True)
+    ts.add_argument("--config", required=True)
+
     cl = sub.add_parser(
         "changelog", help="export the change data feed (committed ticks only)"
     )
@@ -397,6 +410,29 @@ def main(argv: list[str] | None = None) -> int:
                 if args.lateness is not None:
                     kw["lateness_bound"] = args.lateness
                 print(json.dumps(compact_tombstones(args.lake, **kw)))
+        elif args.cmd == "tables-replay":
+            from etl_ray.engine.tables import MultiTableLake, load_config
+
+            lake = MultiTableLake(args.lake, load_config(args.config))
+            rounds = lake.replay_all(segments_per_tick=args.segments_per_tick)
+            out = []
+            for r in rounds:
+                out.append(
+                    {
+                        name: (
+                            res.__dict__
+                            if hasattr(res, "__dict__") and not isinstance(res, dict)
+                            else res
+                        )
+                        for name, res in r.items()
+                    }
+                )
+            print(json.dumps(out))
+        elif args.cmd == "tables-status":
+            from etl_ray.engine.tables import MultiTableLake, load_config
+
+            lake = MultiTableLake(args.lake, load_config(args.config))
+            print(json.dumps(lake.status()))
         elif args.cmd == "status":
             from etl_ray.engine.lineage import LakeLineage
 

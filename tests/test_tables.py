@@ -1,0 +1,308 @@
+"""Multi-table lakes (``engine/tables.py``): N logical tables through one
+replay loop — per-table commits, cross-table crash/resume, and the
+incrementally-maintained ``repo_stats`` view vs a DuckDB oracle."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from etl_ray.engine.lineage import LakeLineage
+from etl_ray.engine.tables import (
+    MultiTableLake,
+    TableSpec,
+    load_config,
+    spec_from_config,
+)
+
+
+def _second_wal(tmp_path_factory):
+    from etl_ray.wal import generate_wal
+
+    d = tmp_path_factory.mktemp("wal_b")
+    return generate_wal(
+        str(d),
+        seed=31,
+        n_events=6_000,
+        n_repos=12,
+        paths_per_repo=80,
+        dup_rate=0.02,
+        delete_rate=0.05,
+        ooo_window=300,
+        evolve_at_frac=0.5,
+        segment_rows=1_500,
+        content_min=32,
+        content_max=256,
+        days_span=5,
+    )
+
+
+@pytest.fixture(scope="module")
+def wal_b(tmp_path_factory):
+    return _second_wal(tmp_path_factory)
+
+
+def _oracle_repo_stats(wal) -> pd.DataFrame:
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    has_size = any(s.get("has_size_bytes") for s in wal.segments)
+    size_expr = "CAST(size_bytes AS BIGINT)" if has_size else "CAST(NULL AS BIGINT)"
+    sql = f"""
+        SELECT repo,
+               CAST(COUNT(*) AS BIGINT) AS live_files,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS total_bytes,
+               CAST(MAX(lsn) AS BIGINT) AS last_lsn
+        FROM (
+            SELECT repo, path, lsn, {size_expr} AS sz, op,
+                   row_number() OVER (PARTITION BY repo, path
+                                      ORDER BY lsn DESC) AS rn
+            FROM read_parquet([{files}], union_by_name=true)
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        GROUP BY repo ORDER BY repo
+    """
+    return duckdb.sql(sql).df()
+
+
+def _view_df(lake: MultiTableLake, name: str) -> pd.DataFrame:
+    return (
+        lake.read_view(name)
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+        .astype({"live_files": "int64", "total_bytes": "int64", "last_lsn": "int64"})
+    )
+
+
+def test_two_base_tables_one_loop(ray_session, small_wal, wal_b, tmp_path):
+    """Two base tables with different specs replay through one loop; each
+    table's final state matches its own oracle; per-table lineage is
+    independent."""
+    from etl_ray.oracle import expected_final_state
+
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(
+                name="sessions", wal_dir=wal_b.wal_dir, num_buckets=4,
+                tz_offset_minutes=330,
+            ),
+        ],
+    )
+    rounds = lake.replay_all(segments_per_tick=2)
+    assert rounds, "no progress made"
+
+    from etl_ray.engine.export import final_state
+
+    for name, wal in (("repo_files", small_wal), ("sessions", wal_b)):
+        got = (
+            final_state(lake.table_dir(name))
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            expected_final_state(wal)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        pd.testing.assert_frame_equal(
+            got[["repo", "path", "commit", "lsn"]], exp[["repo", "path", "commit", "lsn"]]
+        )
+    st = lake.status()
+    assert st["repo_files"]["live_rows"] > 0
+    assert st["sessions"]["live_rows"] > 0
+    # per-table lineage: independent tick counters and bucket layouts
+    assert LakeLineage(lake.table_dir("repo_files")).last_tick()["num_buckets"] == 8
+    assert LakeLineage(lake.table_dir("sessions")).last_tick()["num_buckets"] == 4
+
+
+def test_view_matches_oracle_and_is_incremental(ray_session, small_wal, tmp_path):
+    """repo_stats view: equals the DuckDB LWW-fold oracle after full replay,
+    and a refresh after one more tick touches ONLY the buckets whose
+    manifests advanced."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    # first pass: all but the last segment
+    n_segs = len(small_wal.segments)
+    eng = lake.engine("repo_files")
+    eng.tick(n_segs - 1)
+    r1 = lake.tick()  # repo_files consumes the final segment; view refreshes
+    assert r1["repo_files"] is not None
+    assert r1["repo_stats"]["buckets"] > 0
+
+    got = _view_df(lake, "repo_stats")
+    exp = _oracle_repo_stats(small_wal)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+    # incremental: another refresh with no upstream progress is a no-op
+    r2 = lake.tick()
+    assert r2["repo_files"] is None and r2["repo_stats"] is None
+
+
+def test_view_refresh_touches_only_advanced_buckets(ray_session, small_wal, tmp_path):
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    eng = lake.engine("repo_files")
+    eng.tick(len(small_wal.segments) - 1)
+    from etl_ray.engine.tables import refresh_repo_stats
+
+    up_dir, v_dir = lake.table_dir("repo_files"), lake.table_dir("repo_stats")
+    refresh_repo_stats(up_dir, v_dir)
+    applied = json.load(open(os.path.join(v_dir, "_view.json")))["upstream_tick"]
+
+    eng.tick()  # last segment
+    advanced = [
+        m["bucket"]
+        for m in LakeLineage(up_dir).all_bucket_manifests()
+        if m["tick"] > applied
+    ]
+    res = refresh_repo_stats(up_dir, v_dir)
+    assert res["buckets"] == len(advanced) < 8 or len(advanced) == 8
+    got = _view_df(lake, "repo_stats")
+    exp = _oracle_repo_stats(small_wal)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_crash_commits_table_a_not_b_then_resume(ray_session, small_wal, wal_b, tmp_path):
+    """A tick that commits table A but crashes in table B leaves A committed
+    and B at its previous tick; the rerun no-ops A and completes B."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="a", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="b", wal_dir=wal_b.wal_dir, num_buckets=4),
+        ],
+    )
+    lake.engine("b").fail_after_buckets = 0  # crash before B's first publish
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.tick()
+    assert LakeLineage(lake.table_dir("a")).last_tick()["tick"] == 0
+    assert LakeLineage(lake.table_dir("b")).last_tick() is None
+
+    lake.engine("b").fail_after_buckets = None
+    r = lake.tick()
+    assert r["a"] is None, "table A must be a watermark no-op on the rerun"
+    assert r["b"] is not None and r["b"].tick == 0
+
+    # full drain: both tables reach their final oracle rows
+    lake.replay_all()
+    from etl_ray.oracle import expected_final_state
+
+    for name, wal in (("a", small_wal), ("b", wal_b)):
+        lin = LakeLineage(lake.table_dir(name))
+        live = sum(m["live_rows"] for m in lin.all_bucket_manifests())
+        assert live == expected_final_state(wal).num_rows
+
+
+def test_view_crash_before_manifest_recovers(ray_session, small_wal, tmp_path):
+    """Partials written but _view.json not published → the rerun recomputes
+    the same buckets idempotently and the view converges."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    lake.engine("repo_files").replay_all()
+    v_dir = lake.table_dir("repo_stats")
+    r = lake.tick()
+    assert r["repo_stats"]["buckets"] == 8
+    # simulate the crash: drop the manifest (partials stay), refresh again
+    os.remove(os.path.join(v_dir, "_view.json"))
+    r2 = lake.tick()
+    assert r2["repo_stats"]["buckets"] == 8  # full redo, same result
+    got = _view_df(lake, "repo_stats")
+    exp = _oracle_repo_stats(small_wal)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+
+
+def test_config_file_and_cli_surface(ray_session, small_wal, tmp_path):
+    cfgp = tmp_path / "tables.json"
+    cfgp.write_text(
+        json.dumps(
+            {
+                "tables": [
+                    {"name": "repo_files", "wal": small_wal.wal_dir, "buckets": 4},
+                    {"name": "repo_stats", "view": "repo_stats", "source": "repo_files"},
+                ]
+            }
+        )
+    )
+    specs = load_config(str(cfgp))
+    assert [s.name for s in specs] == ["repo_files", "repo_stats"]
+    lake = MultiTableLake(str(tmp_path / "ml"), specs)
+    lake.replay_all()
+    st = lake.status()
+    assert st["repo_files"]["live_rows"] > 0
+    assert st["repo_stats"]["upstream_tick"] == LakeLineage(
+        lake.table_dir("repo_files")
+    ).last_tick()["tick"]
+    assert st["repo_stats"]["partial_files"] == 4
+    # registry file exists for ops tooling
+    reg = json.load(open(os.path.join(str(tmp_path / "ml"), "_tables.json")))
+    assert [t["name"] for t in reg["tables"]] == ["repo_files", "repo_stats"]
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError, match="needs wal_dir"):
+        TableSpec(name="x").validate()
+    with pytest.raises(ValueError, match="unknown view kind"):
+        TableSpec(name="x", view="nope", source="y").validate()
+    with pytest.raises(ValueError, match="needs a source"):
+        TableSpec(name="x", view="repo_stats").validate()
+    with pytest.raises(ValueError, match="duplicate"):
+        MultiTableLake(
+            "/tmp/etl_ray_spec_dup",
+            [
+                TableSpec(name="x", wal_dir="/w"),
+                TableSpec(name="x", wal_dir="/w"),
+            ],
+        )
+    with pytest.raises(ValueError, match="sources unknown"):
+        MultiTableLake(
+            "/tmp/etl_ray_spec_dup",
+            [TableSpec(name="v", view="repo_stats", source="ghost")],
+        )
+    assert spec_from_config({"name": "t", "wal": "/w", "folds": True}).folds
+
+
+def test_view_survives_upstream_rebucket(ray_session, small_wal, tmp_path):
+    """After an upstream rebucket the view drops orphan partials and
+    recomputes from the new layout — values unchanged."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    lake.replay_all()
+    before = _view_df(lake, "repo_stats")
+
+    from etl_ray.engine.maintenance import rebucket
+
+    rebucket(lake.table_dir("repo_files"), 5)
+    r = lake.tick()
+    assert r["repo_stats"]["buckets"] == 5
+    files = glob.glob(os.path.join(lake.table_dir("repo_stats"), "partials", "b=*.parquet"))
+    assert len(files) == 5, "orphan partials must be dropped"
+    pd.testing.assert_frame_equal(_view_df(lake, "repo_stats"), before)
