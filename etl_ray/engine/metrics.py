@@ -33,7 +33,7 @@ class MetricSpec:
     batch_expr: Callable[[pd.DataFrame], pd.Series]  # group rows -> per-repo Series
     agg: str = "sum"  # sum | max | min
     # metric columns are materialized as float64 (NaN where a partition has
-    # no qualifying rows) — see aggregates._write_agg_partitions
+    # no qualifying rows) — see aggregates._day_tables
 
     def __post_init__(self):
         if self.grain not in ("lang_daily", "repo_daily"):
