@@ -346,22 +346,10 @@ def _rebucket_locked(
         batch = batch.take(order)
         codes = batch[BUCKET_COL].to_numpy()
         data = batch.drop_columns([BUCKET_COL])
-        bounds = np.flatnonzero(np.diff(codes)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(codes)]])
+        from .partitioning import write_bucket_rgs
+
         f = os.path.join(spill_dir, f"part-{uuid.uuid4().hex}.parquet")
-        out_b, out_rg = [], []
-        writer = pq.ParquetWriter(f + ".tmp", data.schema, compression="snappy")
-        try:
-            for rg, (s, e) in enumerate(zip(starts, ends)):
-                # one row group per bucket run (pyarrow would split >1M-row
-                # runs into unindexed extra groups — see replay.py)
-                writer.write_table(data.slice(s, e - s), row_group_size=e - s)
-                out_b.append(int(codes[s]))
-                out_rg.append(rg)
-        finally:
-            writer.close()
-        os.replace(f + ".tmp", f)
+        out_b, out_rg, _ = write_bucket_rgs(data, codes, f)
         return pa.table(
             {
                 "bucket": pa.array(out_b, pa.int32()),

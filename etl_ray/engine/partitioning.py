@@ -49,6 +49,36 @@ def with_bucket(table: pa.Table, num_buckets: int) -> pa.Table:
     )
 
 
+def write_bucket_rgs(data: pa.Table, codes, path: str) -> tuple[list, list, list]:
+    """Indexed shuffle file: one parquet, one ROW GROUP per bucket run
+    (input must be sorted by bucket). Readers fetch only their row group —
+    no per-(task, bucket) tiny-file explosion. Returns (buckets, rgs, rows).
+
+    ``row_group_size`` covers each whole run: pyarrow splits at ~1M rows by
+    default, which would strand a big run's tail in an unindexed group.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    bounds = np.flatnonzero(np.diff(codes)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(codes)]])
+    buckets_out, rgs_out, rows_out = [], [], []
+    writer = pq.ParquetWriter(path + ".tmp", data.schema, compression="snappy")
+    try:
+        for rg, (s, e) in enumerate(zip(starts, ends)):
+            writer.write_table(data.slice(s, e - s), row_group_size=e - s)
+            buckets_out.append(int(codes[s]))
+            rgs_out.append(rg)
+            rows_out.append(int(e - s))
+    finally:
+        writer.close()
+    import os
+
+    os.replace(path + ".tmp", path)
+    return buckets_out, rgs_out, rows_out
+
+
 def salt_of(lsn: pa.ChunkedArray, n_salts: int, window: int = 1 << 16) -> pa.Array:
     """Optional explicit salt for hot-key splitting: events of one key land in
     ``n_salts`` sub-cells by LSN window; sub-cells are reduced independently

@@ -165,8 +165,15 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
     when the feed can actually prove it: offline audit context (the CLI's
     new == prev shape), every segment tick emitted the feed, no bootstrap
     tick (its state never entered the feed), and no retention gap. Any
-    other shape skips silently (no feed ⇒ nothing to audit). Audit-tier
-    cost: reads the whole feed's narrow key projection."""
+    other shape skips silently (no feed ⇒ nothing to audit).
+
+    Distributed (VERDICT r3 #5): stage 1 folds the feed's narrow key
+    projection per batch and spills bucket-indexed shuffle files (the
+    engine's own shuffle shape, LWW on lsn is valid — per-key applied LSN
+    is monotone across ticks and erase LSNs sit above the WAL); stage 2 is
+    one task per bucket doing the exact set compare against that bucket's
+    state file. The driver sees per-bucket mismatch COUNTERS only — no
+    whole-feed or whole-state materialization anywhere."""
     if ctx.segments or ctx.events:
         return []  # mid-tick: the current attempt's parts aren't committed
     ticks = ctx.lineage.all_ticks()
@@ -191,38 +198,136 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
     if not need <= have_dirs:
         return []  # retention dropped part of the feed: cannot audit
 
-    import pandas as pd
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import ray
+    import ray.data
 
     files = committed_changelog_files(lake)
     if not files:
         return []
-    feed = pd.concat(
-        [
-            pq.read_table(f, columns=["repo", "path", "lsn", "change_op"]).to_pandas()
-            for f in files
-        ],
-        ignore_index=True,
-    )
-    last = (
-        feed.sort_values("lsn", kind="mergesort")
-        .groupby(["repo", "path"], as_index=False)
-        .tail(1)
-    )
-    live = last[~last["change_op"].isin(["delete", "erase"])]
-    folded = set(zip(live["repo"], live["path"], live["lsn"]))
 
-    state: set[tuple] = set()
-    for m in ctx.new_manifests:
-        t = pq.read_table(m["data_file"], columns=["repo", "path", "lsn", "deleted"])
-        df = t.to_pandas()
-        df = df[~df["deleted"]]
-        state.update(zip(df["repo"], df["path"], df["lsn"]))
-    if folded != state:
-        return [
-            {
+    nb = (ctx.prev_tick or {}).get("num_buckets") or max(
+        (m["bucket"] for m in ctx.new_manifests), default=0
+    ) + 1
+    spill_dir = os.path.join(lake, "_audit_shuffle")
+    shutil.rmtree(spill_dir, ignore_errors=True)
+    os.makedirs(spill_dir, exist_ok=True)
+    try:
+        from .dedup import last_writer
+        from .partitioning import BUCKET_COL, bucket_of, write_bucket_rgs
+
+        def spill(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "file": pa.array([], pa.string()),
+                    "rg": pa.array([], pa.int32()),
+                }
+            )
+            if t.num_rows == 0:
+                return empty
+            t = last_writer(t.select(["repo", "path", "lsn", "change_op"]))
+            t = t.append_column(BUCKET_COL, bucket_of(t["repo"], t["path"], nb))
+            t = t.take(pc.sort_indices(t, sort_keys=[(BUCKET_COL, "ascending")]))
+            codes = t[BUCKET_COL].to_numpy()
+            f = os.path.join(spill_dir, f"part-{uuid.uuid4().hex}.parquet")
+            bs, rgs, _ = write_bucket_rgs(t.drop_columns([BUCKET_COL]), codes, f)
+            return pa.table(
+                {
+                    "bucket": pa.array(bs, pa.int32()),
+                    "file": pa.array([f] * len(bs), pa.string()),
+                    "rg": pa.array(rgs, pa.int32()),
+                }
+            )
+
+        shards = (
+            ray.data.read_parquet(
+                files, columns=["repo", "path", "lsn", "change_op"]
+            )
+            .map_batches(spill, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()  # descriptors only: one row per (task, bucket)
+        )
+        by_bucket: dict[int, tuple[list, list]] = {}
+        for r in shards:
+            fs, rgs = by_bucket.setdefault(int(r["bucket"]), ([], []))
+            fs.append(r["file"])
+            rgs.append(int(r["rg"]))
+        state_files = {m["bucket"]: m["data_file"] for m in ctx.new_manifests}
+
+        def compare(bucket: int, feed_files, feed_rgs, state_file) -> dict:
+            if feed_files:
+                t = pa.concat_tables(
+                    pq.ParquetFile(f).read_row_group(rg)
+                    for f, rg in zip(feed_files, feed_rgs)
+                )
+                t = last_writer(t)  # fold across fragments (max lsn per key)
+                live = t.filter(
+                    pc.invert(
+                        pc.is_in(
+                            t["change_op"], value_set=pa.array(["delete", "erase"])
+                        )
+                    )
+                )
+                folded = set(
+                    zip(
+                        live["repo"].to_pylist(),
+                        live["path"].to_pylist(),
+                        live["lsn"].to_pylist(),
+                    )
+                )
+            else:
+                folded = set()
+            if state_file:
+                s = pq.read_table(
+                    state_file, columns=["repo", "path", "lsn", "deleted"]
+                )
+                s = s.filter(pc.invert(s["deleted"]))
+                state = set(
+                    zip(
+                        s["repo"].to_pylist(),
+                        s["path"].to_pylist(),
+                        s["lsn"].to_pylist(),
+                    )
+                )
+            else:
+                state = set()
+            return {
+                "bucket": bucket,
                 "feed_only": len(folded - state),
                 "state_only": len(state - folded),
+            }
+
+        task = ray.remote(num_cpus=1)(compare)
+        all_buckets = sorted(set(by_bucket) | set(state_files))
+        res = ray.get(
+            [
+                task.remote(
+                    b,
+                    by_bucket.get(b, ([], []))[0],
+                    by_bucket.get(b, ([], []))[1],
+                    state_files.get(b),
+                )
+                for b in all_buckets
+            ]
+        )
+    finally:
+        shutil.rmtree(spill_dir, ignore_errors=True)
+
+    feed_only = sum(r["feed_only"] for r in res)
+    state_only = sum(r["state_only"] for r in res)
+    if feed_only or state_only:
+        return [
+            {
+                "feed_only": feed_only,
+                "state_only": state_only,
+                "buckets_mismatched": sum(
+                    1 for r in res if r["feed_only"] or r["state_only"]
+                ),
             }
         ]
     return []

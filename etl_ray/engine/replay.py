@@ -179,30 +179,7 @@ class ReplayEngine:
         tz_off = self.tz_offset_minutes
         qdir = os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}")
 
-        def _write_bucket_rgs(data: pa.Table, codes, path: str):
-            """One parquet file, one row group per bucket run (input sorted
-            by bucket). Returns (buckets, rgs, rows)."""
-            import numpy as np
-
-            bounds = np.flatnonzero(np.diff(codes)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [len(codes)]])
-            buckets_out, rgs_out, rows_out = [], [], []
-            writer = pq.ParquetWriter(path + ".tmp", data.schema, compression="snappy")
-            try:
-                for rg, (s, e) in enumerate(zip(starts, ends)):
-                    # row_group_size must cover the whole slice: the rg
-                    # index assumes ONE group per run, but pyarrow splits
-                    # at ~1M rows by default — a bigger run would leave
-                    # its tail in an unindexed group readers never fetch
-                    writer.write_table(data.slice(s, e - s), row_group_size=e - s)
-                    buckets_out.append(int(codes[s]))
-                    rgs_out.append(rg)
-                    rows_out.append(int(e - s))
-            finally:
-                writer.close()
-            os.replace(path + ".tmp", path)
-            return buckets_out, rgs_out, rows_out
+        from .partitioning import write_bucket_rgs as _write_bucket_rgs
 
         def spill(batch: pa.Table) -> pa.Table:
             """Fused stage-1 task: enrich → (a) append the narrow per-day

@@ -163,3 +163,55 @@ def test_audit_feed_consistency(ray_session, small_wal, tmp_path):
         prev_tick=lin2.last_tick(),
     )
     assert check_feed_consistency(ctx2) == []
+
+
+def test_feed_audit_is_distributed(ray_session, small_wal, tmp_path, monkeypatch):
+    """VERDICT r3 #5: the feed-consistency audit must not materialize the
+    feed (or state) on the driver — over a long multi-tick feed, the only
+    driver-side Dataset materialization is the descriptor table (one row
+    per (stage-1 task, bucket)), and the audit still proves equality."""
+    import ray.data as rd
+
+    from etl_ray.engine import ReplayEngine
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.quality import TickContext, check_feed_consistency
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, emit_changelog=True
+    ).replay_all(segments_per_tick=1)  # one tick per segment: a long feed
+    lin = LakeLineage(lake)
+    assert lin.last_tick()["tick"] >= 3
+
+    seen: list[int] = []
+    orig_take_all = rd.Dataset.take_all
+    orig_to_pandas = rd.Dataset.to_pandas
+
+    def spy_take_all(self, *a, **k):
+        rows = orig_take_all(self, *a, **k)
+        seen.append(len(rows))
+        return rows
+
+    def spy_to_pandas(self, *a, **k):
+        df = orig_to_pandas(self, *a, **k)
+        seen.append(len(df))
+        return df
+
+    monkeypatch.setattr(rd.Dataset, "take_all", spy_take_all)
+    monkeypatch.setattr(rd.Dataset, "to_pandas", spy_to_pandas)
+
+    mans = lin.all_bucket_manifests()
+    ctx = TickContext(
+        lineage=lin,
+        tick=lin.last_tick()["tick"],
+        events=0,
+        segments=[],
+        new_manifests=mans,
+        prev_manifests={m["bucket"]: m for m in mans},
+        prev_tick=lin.last_tick(),
+    )
+    assert check_feed_consistency(ctx) == []
+    assert seen, "the audit must have run its shuffle"
+    state_rows = sum(m["rows"] for m in mans)
+    # descriptor grain only: far below the corpus, bounded by tasks × buckets
+    assert max(seen) < state_rows / 2, (seen, state_rows)
