@@ -122,6 +122,14 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="drop feed directories older than this many ticks (default: keep all)",
     )
+    r.add_argument(
+        "--deadline-minutes",
+        type=float,
+        default=None,
+        help="wall-clock budget for this run; checked BETWEEN ticks, so an "
+        "abort always leaves the lake at a committed tick (exit code 3, "
+        "deadline_exceeded in the ops event trail)",
+    )
 
     v = sub.add_parser("verify", help="check lake state against the DuckDB oracle")
     v.add_argument("--wal", required=True)
@@ -207,6 +215,16 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also list one line per committed tick (events, rows, feed, "
         "quarantine) — the ops throughput trail",
+    )
+    st.add_argument(
+        "--events",
+        type=int,
+        nargs="?",
+        const=50,
+        default=None,
+        metavar="N",
+        help="also list the last N ops/alert events (tick failures, "
+        "quality failures, deadline breaches; default 50)",
     )
 
     ex = sub.add_parser(
@@ -367,14 +385,24 @@ def main(argv: list[str] | None = None) -> int:
                 tz_offset_minutes=args.tz_offset_minutes,
                 emit_changelog=args.changelog,
                 changelog_retain=args.changelog_retain,
+                deadline_minutes=args.deadline_minutes,
             )
-            if args.follow:
-                results = eng.follow(
-                    idle_timeout_s=args.idle_timeout,
-                    segments_per_tick=args.segments_per_tick,
-                )
-            else:
-                results = eng.replay_all(segments_per_tick=args.segments_per_tick)
+            from etl_ray.engine.replay import DeadlineExceededError
+
+            deadline_hit = None
+            try:
+                if args.follow:
+                    results = eng.follow(
+                        idle_timeout_s=args.idle_timeout,
+                        segments_per_tick=args.segments_per_tick,
+                    )
+                else:
+                    results = eng.replay_all(
+                        segments_per_tick=args.segments_per_tick
+                    )
+            except DeadlineExceededError as e:
+                deadline_hit = str(e)
+                results = []  # committed ticks are durable; trail has them
             print(
                 json.dumps(
                     [
@@ -388,6 +416,9 @@ def main(argv: list[str] | None = None) -> int:
                     ]
                 )
             )
+            if deadline_hit:
+                print(json.dumps({"deadline_exceeded": deadline_hit}))
+                return 3
         elif args.cmd == "erase":
             from etl_ray.engine.maintenance import erase_keys
 
@@ -434,6 +465,7 @@ def main(argv: list[str] | None = None) -> int:
             lake = MultiTableLake(args.lake, load_config(args.config))
             print(json.dumps(lake.status()))
         elif args.cmd == "status":
+            from etl_ray.engine.alerts import read_events
             from etl_ray.engine.lineage import LakeLineage
 
             lin = LakeLineage(args.lake)
@@ -469,6 +501,11 @@ def main(argv: list[str] | None = None) -> int:
                                 ]
                             }
                             if args.history
+                            else {}
+                        ),
+                        **(
+                            {"events": read_events(args.lake, last=args.events)}
+                            if args.events is not None
                             else {}
                         ),
                     }

@@ -40,6 +40,14 @@ from .partitioning import BUCKET_COL, with_bucket
 from .source import pending_segments, read_segments_indexed, target_schema_for
 
 
+class DeadlineExceededError(RuntimeError):
+    """The run's wall-clock budget ran out (checked BETWEEN ticks, so the
+    lake is always at a committed tick when this raises). Reference analog:
+    the DAG-level deadline sensor that fails the run after 8 h
+    (``etl/plugins/operators/deadline.py:29-38``, wired at
+    ``DAG_user_history.py:98-105``)."""
+
+
 @dataclass
 class TickResult:
     tick: int
@@ -77,7 +85,18 @@ class ReplayEngine:
         retain_ticks: int = 0,  # >0: keep state history for as-of reads
         emit_changelog: bool = False,  # CDC-out feed (engine/changelog.py)
         changelog_retain: int | None = None,  # feed retention in ticks
+        deadline_minutes: float | None = None,  # per-run wall-clock budget
+        on_event=None,  # alert callback(s): see engine/alerts.py
     ):
+        self.deadline_s = (
+            deadline_minutes * 60.0 if deadline_minutes is not None else None
+        )
+        if on_event is None:
+            self.event_callbacks: tuple = ()
+        elif callable(on_event):
+            self.event_callbacks = (on_event,)
+        else:
+            self.event_callbacks = tuple(on_event)
         self.pseudonym_fields = pseudonym_fields or []
         self.tz_offset_minutes = int(tz_offset_minutes)
         self.retain_ticks = int(retain_ticks)
@@ -391,10 +410,54 @@ class ReplayEngine:
         # single-writer guard: held per tick (re-acquired each tick, which
         # refreshes the TTL for long replays); the pending-segment check
         # below needs no lock (it only reads the WAL manifest)
-        from .lock import writer_lock
+        from .alerts import emit_event
+        from .lock import WriterLockError, writer_lock
+        from .quality import DataQualityError
 
-        with writer_lock(self.lake_dir, "replay"):
-            return self._tick_locked(max_segments)
+        try:
+            with writer_lock(self.lake_dir, "replay"):
+                return self._tick_locked(max_segments)
+        except WriterLockError:
+            raise  # interleaving with maintenance, not a failure — no alert
+        except DataQualityError as e:
+            emit_event(
+                self.lake_dir, "quality_failure", {"error": str(e)},
+                self.event_callbacks,
+            )
+            raise
+        except Exception as e:
+            emit_event(
+                self.lake_dir, "tick_failure",
+                {"error": f"{type(e).__name__}: {e}"},
+                self.event_callbacks,
+            )
+            raise
+
+    def _check_deadline(self, started: float, ticks_done: int) -> None:
+        """Raise between ticks once the run's budget is spent. The lake is
+        at a committed tick at every call site, so an abort never loses or
+        tears work — the next run resumes from the watermark."""
+        if self.deadline_s is None:
+            return
+        elapsed = time.monotonic() - started
+        if elapsed > self.deadline_s:
+            from .alerts import emit_event
+
+            emit_event(
+                self.lake_dir,
+                "deadline_exceeded",
+                {
+                    "deadline_s": self.deadline_s,
+                    "elapsed_s": round(elapsed, 3),
+                    "ticks_completed": ticks_done,
+                },
+                self.event_callbacks,
+            )
+            raise DeadlineExceededError(
+                f"run budget {self.deadline_s:.0f}s exceeded after "
+                f"{elapsed:.1f}s ({ticks_done} ticks committed); lake is at "
+                "its last committed tick — rerun to resume"
+            )
 
     def _tick_locked(self, max_segments: int | None = None) -> TickResult | None:
         t0 = time.perf_counter()
@@ -673,11 +736,16 @@ class ReplayEngine:
 
     def replay_all(self, *, segments_per_tick: int | None = None) -> list[TickResult]:
         out = []
+        started = time.monotonic()
         while True:
             r = self.tick(segments_per_tick)
             if r is None:
                 break
             out.append(r)
+            # budget checked BETWEEN ticks: the first tick always runs (a
+            # run does at least one unit of work, like the reference's
+            # deadline sensor failing an in-flight run, deadline.py:29-38)
+            self._check_deadline(started, len(out))
         return out
 
     def follow(
@@ -697,7 +765,8 @@ class ReplayEngine:
         from .lock import WriterLockError
 
         results: list[TickResult] = []
-        idle_since = time.monotonic()
+        started = time.monotonic()
+        idle_since = started
         while True:
             self.wal = WalInfo.load(self.wal.wal_dir)  # new sealed segments?
             try:
@@ -716,6 +785,9 @@ class ReplayEngine:
                 idle_since = time.monotonic()
                 if max_ticks is not None and len(results) >= max_ticks:
                     break
+                # budget checked between ticks (first tick always runs) —
+                # a pathological backlog can't tail past the run's SLA
+                self._check_deadline(started, len(results))
             else:
                 if time.monotonic() - idle_since >= idle_timeout_s:
                     break
