@@ -123,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
         help="drop feed directories older than this many ticks (default: keep all)",
     )
     r.add_argument(
+        "--ext-map",
+        default=None,
+        help="path to a JSON ext→lang overlay of the built-in enrichment "
+        "dim; re-read at every tick start and re-broadcast on content "
+        "change (live dim refresh for --follow tails)",
+    )
+    r.add_argument(
         "--deadline-minutes",
         type=float,
         default=None,
@@ -386,6 +393,7 @@ def main(argv: list[str] | None = None) -> int:
                 emit_changelog=args.changelog,
                 changelog_retain=args.changelog_retain,
                 deadline_minutes=args.deadline_minutes,
+                ext_map_path=args.ext_map,
             )
             from etl_ray.engine.replay import DeadlineExceededError
 

@@ -33,10 +33,22 @@ class LangEnricher:
     column (no Python loop over rows).
     """
 
-    def __init__(self, ext_map_ref=None):
-        self.ext_map = ray.get(ext_map_ref) if ext_map_ref is not None else dict(EXT_TO_LANG)
+    def __init__(self, ext_map_ref=None, ext_map: dict | None = None):
+        # a ref is resolved LAZILY at first use: the driver-built instance
+        # ships only the ObjectRef inside task closures, and every task
+        # reads the broadcast dim from its node's object store (ray.put
+        # once per dim VERSION — see ReplayEngine._refresh_dim)
+        self._ref = ext_map_ref
+        if ext_map_ref is not None:
+            self.ext_map = None
+        elif ext_map is not None:
+            self.ext_map = dict(ext_map)
+        else:
+            self.ext_map = dict(EXT_TO_LANG)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.ext_map is None:
+            self.ext_map = ray.get(self._ref)
         path = batch["path"]
         if isinstance(path, pa.ChunkedArray):
             path = path.combine_chunks()

@@ -87,7 +87,20 @@ class ReplayEngine:
         changelog_retain: int | None = None,  # feed retention in ticks
         deadline_minutes: float | None = None,  # per-run wall-clock budget
         on_event=None,  # alert callback(s): see engine/alerts.py
+        ext_map_path: str | None = None,  # versioned enrichment dim (JSON)
     ):
+        # Versioned broadcast dimension (the reference refreshes its
+        # currency/GeoIP dims on side-DAGs — DAG_get_currencies_data.py:33-63,
+        # DAG_update_geoip_db.py:32-51): a JSON overlay of the built-in
+        # ext→lang map, re-read at every tick start. On content change the
+        # map is re-broadcast (ray.put once per VERSION, read per actor) so
+        # a long-running follow() tags subsequent ticks with the new dim.
+        # Warm appliers need no invalidation: they cache committed STATE,
+        # which a dim change never rewrites (LWW — only new events carry
+        # the new tags).
+        self.ext_map_path = ext_map_path
+        self._dim_version: str | None = None
+        self._dim_ref = None
         self.deadline_s = (
             deadline_minutes * 60.0 if deadline_minutes is not None else None
         )
@@ -125,6 +138,34 @@ class ReplayEngine:
         # bound (duplicates re-emit within it), with margin
         p = self.wal.params or {}
         self.fold_lateness = 2 * int(p.get("ooo_window", 1 << 14)) + 16
+
+    def _refresh_dim(self) -> str | None:
+        """Reload the enrichment dim if its content changed; returns the
+        current version tag (sha256 prefix of the file bytes, recorded in
+        the tick manifest for lineage)."""
+        if not self.ext_map_path:
+            return None
+        import hashlib
+        import json as _json
+
+        import ray as _ray
+
+        from ..wal import EXT_TO_LANG
+
+        with open(self.ext_map_path, "rb") as f:
+            raw = f.read()
+        ver = hashlib.sha256(raw).hexdigest()[:12]
+        if ver != self._dim_version:
+            merged = dict(EXT_TO_LANG)
+            merged.update(_json.loads(raw))
+            self._dim_ref = _ray.put(merged)  # re-broadcast once per version
+            self._dim_version = ver
+        return ver
+
+    def _make_enricher(self) -> LangEnricher:
+        if self._dim_ref is not None:
+            return LangEnricher(ext_map_ref=self._dim_ref)
+        return LangEnricher()
 
     def _warm_pool(self):
         """Lazily created persistent applier actors (see WarmApplierActor).
@@ -189,7 +230,7 @@ class ReplayEngine:
         os.makedirs(spill_dir, exist_ok=True)
 
         nb = self.num_buckets
-        enrich = LangEnricher()
+        enrich = self._make_enricher()
         # capture plain values, NOT self: the closure ships to every task and
         # self would drag along warm-actor handles and the WAL manifest
         do_aggregate = self.aggregate
@@ -474,6 +515,7 @@ class ReplayEngine:
         if not segs:
             return None
 
+        dim_version = self._refresh_dim()  # re-broadcast the dim if it changed
         self.lineage.recover()  # roll back any crashed rebucket attempt
         self.lineage.gc(self.retain_ticks)  # drop uncommitted staging from any crashed run
 
@@ -539,7 +581,7 @@ class ReplayEngine:
         if self.shuffle != "spill":
             # spill fuses enrich/reduce/bucket into its stage-1 task
             nb = self.num_buckets
-            enrich = LangEnricher()  # stateless here: task pool, no actor spin-up
+            enrich = self._make_enricher()  # task pool, no actor spin-up
             qdir = os.path.join(self.lake_dir, "_quarantine", f"tick-{tick_id:06d}")
 
             def enrich_reduce_bucket(batch: pa.Table) -> pa.Table:
@@ -712,6 +754,8 @@ class ReplayEngine:
                 "quality": quality_summary,
                 "changelog": self.emit_changelog,
                 "changelog_rows": changelog_rows,
+                # enrichment-dim lineage: which dim version tagged this tick
+                "dim_version": dim_version,
             }
         )
         self.lineage.gc(self.retain_ticks)

@@ -136,3 +136,81 @@ def test_follow_with_live_feed_consumer(ray_session, small_wal, tmp_path):
     )
     assert len(live) == len(state)
     assert (live["content"].to_numpy() == state["content"].to_numpy()).all()
+
+
+def test_follow_dim_refresh_mid_tail(ray_session, small_wal, tmp_path):
+    """VERDICT r3 #7: a versioned enrichment dim changing MID-TAIL is
+    re-broadcast into the running follow() — ticks after the change tag
+    with the new map, rows committed before it keep their old tags (LWW:
+    a dim change never rewrites committed state), and each tick manifest
+    records the dim version that tagged it."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+
+    from etl_ray.engine.lineage import LakeLineage
+
+    view_dir = str(tmp_path / "walview")
+    os.makedirs(view_dir, exist_ok=True)
+
+    def manifest_through(k: int) -> None:
+        WalInfo(
+            wal_dir=view_dir,
+            n_events=sum(s["rows"] for s in small_wal.segments[:k]),
+            n_base_events=small_wal.n_base_events,
+            evolve_lsn=small_wal.evolve_lsn,
+            segments=small_wal.segments[:k],
+            params=None,
+        ).save()
+
+    dim_path = str(tmp_path / "ext_map.json")
+    with open(dim_path, "w") as f:
+        json.dump({}, f)  # v1: built-in map only
+
+    total = len(small_wal.segments)
+    half = total // 2
+    manifest_through(half)
+
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        view_dir, lake, num_buckets=8, concurrency=2, aggregate=False,
+        ext_map_path=dim_path,
+    )
+    results: list = []
+
+    def run():
+        results.extend(
+            eng.follow(poll_interval_s=0.2, idle_timeout_s=6.0, segments_per_tick=None)
+        )
+
+    t = threading.Thread(target=run)
+    t.start()
+    # wait until the first half is committed, then flip the dim
+    deadline = time.monotonic() + 60
+    lin = LakeLineage(lake)
+    while time.monotonic() < deadline and lin.last_tick() is None:
+        time.sleep(0.2)
+    assert lin.last_tick() is not None
+    with open(dim_path, "w") as f:
+        json.dump({"py": "python3"}, f)  # v2 overlay
+    for k in range(half + 1, total + 1):
+        time.sleep(0.7)
+        manifest_through(k)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert sum(r.segments for r in results) == total
+
+    ticks = LakeLineage(lake).all_ticks()
+    vers = [tk["dim_version"] for tk in ticks]
+    assert len(set(vers)) == 2, f"expected both dim versions in lineage: {vers}"
+
+    # rows written by v2 ticks tag 'python3'; earlier rows keep 'python'
+    from etl_ray.engine.export import final_state
+
+    df = final_state(lake).to_pandas()
+    py = df[df["path"].str.endswith(".py")]
+    assert set(py["lang"]) == {"python", "python3"}, (
+        "post-flip ticks must tag with the new map while pre-flip rows "
+        "keep their committed tags"
+    )
