@@ -24,10 +24,27 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     ds = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
         n_tokens = pc.list_value_length(toks).cast(pa.int64())
+        # distinct per row, vectorized: dictionary-encode the flattened
+        # tokens, pack (row, token-code) into one uint64 key, count unique
+        # keys per row — no Python set() per row (VERDICT r3 cleanup)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        codes = (
+            pc.dictionary_encode(pc.list_flatten(toks))
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        packed = (parents.astype(np.uint64) << np.uint64(32)) | codes
+        uniq = np.unique(packed)
         distinct = pa.array(
-            [len(set(x)) for x in toks.to_pylist()], pa.int64()
+            np.bincount(
+                (uniq >> np.uint64(32)).astype(np.int64), minlength=t.num_rows
+            ).astype(np.int64)
         )
         return pa.table(
             {

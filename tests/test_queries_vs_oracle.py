@@ -75,6 +75,7 @@ _ROWS_ONLY = sorted(k for k in _QUERIES if k not in _SQL)
 
 def test_every_oracle_has_query():
     assert set(_SQL) <= set(_QUERIES)
+    assert _ROWS_ONLY == [], "every registry entry must carry a DuckDB oracle"
 
 
 @pytest.mark.parametrize("name", _ORACLED)
@@ -98,12 +99,9 @@ def test_query_matches_oracle(ray_session, sf_dir, name):
     )
 
 
-@pytest.mark.parametrize("name", [k for k in _ROWS_ONLY if not k.startswith("cdc_")])
-def test_rows_only_queries_run(ray_session, sf_dir, name):
-    got = _QUERIES[name](sf_dir)
-    if not isinstance(got, pd.DataFrame):
-        got = got.to_pandas()
-    assert len(got) >= 0 and len(got.columns) > 0
+# test_rows_only_queries_run retired (VERDICT r3 #10): every registry entry
+# is oracled now, so its parameter set is empty — _ROWS_ONLY stays asserted
+# empty in test_every_oracle_has_query instead of producing a benign skip.
 
 
 def test_entry_smoke(ray_session):
