@@ -194,6 +194,13 @@ def main(argv: list[str] | None = None) -> int:
         help="instead: consolidate the day-indexed agg log to one file per "
         "day (O(days) metadata; also migrates legacy day=*/ layouts)",
     )
+    c.add_argument(
+        "--feed",
+        action="store_true",
+        help="instead: merge the change data feed's per-(tick, bucket) "
+        "part files into per-bucket runs (one row group per tick, sidecar "
+        "tick index — ranged reads stay exact)",
+    )
 
     r.add_argument(
         "--follow",
@@ -438,7 +445,13 @@ def main(argv: list[str] | None = None) -> int:
                 keys.append((repo, path))
             print(json.dumps(erase_keys(args.lake, keys, erase_map_fields=args.map_field)))
         elif args.cmd == "compact":
-            if args.agglog:
+            if args.feed:
+                from etl_ray.engine.changelog import compact_changelog
+
+                res = compact_changelog(args.lake)
+                res.pop("run", None)
+                print(json.dumps(res))
+            elif args.agglog:
                 from etl_ray.engine.maintenance import compact_agglog
 
                 print(json.dumps(compact_agglog(args.lake)))
@@ -664,14 +677,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rows": n, "out": args.out}))
         elif args.cmd == "changelog":
             from etl_ray.engine.changelog import (
-                committed_changelog_files,
+                committed_changelog_parts,
                 fold_feed,
                 read_changelog,
             )
 
-            files = committed_changelog_files(args.lake, args.from_tick, args.to_tick)
+            parts = committed_changelog_parts(
+                args.lake, args.from_tick, args.to_tick
+            )
             n = 0
-            if files:
+            if parts:
                 _fresh_out_dir(p, args.out)
                 ds = (
                     fold_feed(args.lake, args.from_tick, args.to_tick)

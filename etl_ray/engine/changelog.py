@@ -198,7 +198,52 @@ def append_erase_records(
 
 def _purge_file(f: str, want: pa.Array) -> int:
     """Drop the subjects' rows from one feed part (tmp+rename). Returns
-    rows removed. Idempotent — a crash mid-purge re-runs harmlessly."""
+    rows removed. Idempotent — a crash mid-purge re-runs harmlessly.
+
+    A COMPACTED part (sidecar ``.json`` tick→rg index present) is rewritten
+    row group by row group so the index stays exact: surviving groups keep
+    one-rg-per-tick, emptied ticks drop out of the index."""
+    import json
+
+    idx_path = f[: -len(".parquet")] + ".json"
+    if os.path.exists(idx_path):
+        with open(idx_path) as fh:
+            idx = json.load(fh)
+        pf = pq.ParquetFile(f)
+        kept_tabs: list[tuple[str, pa.Table]] = []
+        removed = 0
+        for tick_s, rg in sorted(idx.items(), key=lambda kv: kv[1]):
+            t = pf.read_row_group(rg)
+            joined = pc.binary_join_element_wise(t["repo"], t["path"], "\x1f")
+            hit = pc.is_in(joined, value_set=want)
+            nhit = pc.sum(hit).as_py() or 0
+            removed += int(nhit)
+            if nhit:
+                t = t.filter(pc.invert(hit))
+            if t.num_rows:
+                kept_tabs.append((tick_s, t))
+        pf.close()
+        if not removed:
+            return 0
+        if not kept_tabs:
+            os.remove(f)
+            os.remove(idx_path)
+            return removed
+        tmp = f + f".{os.getpid()}.tmp"
+        writer = pq.ParquetWriter(tmp, kept_tabs[0][1].schema, compression="zstd")
+        new_idx = {}
+        try:
+            for rg, (tick_s, t) in enumerate(kept_tabs):
+                writer.write_table(t, row_group_size=t.num_rows)
+                new_idx[tick_s] = rg
+        finally:
+            writer.close()
+        os.replace(tmp, f)
+        with open(idx_path + ".tmp", "w") as fh:
+            json.dump(new_idx, fh)
+        os.replace(idx_path + ".tmp", idx_path)
+        return removed
+
     t = pq.read_table(f)
     joined = pc.binary_join_element_wise(t["repo"], t["path"], "\x1f")
     hit = pc.is_in(joined, value_set=want)
@@ -225,7 +270,10 @@ def purge_keys_from_changelog(lake_dir: str, keys: list[tuple[str, str]]) -> int
     if not os.path.isdir(root):
         return 0
     want = pa.array([f"{r}\x1f{p}" for r, p in keys])
-    files = sorted(glob.glob(os.path.join(root, "t*", "*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(root, "t*", "*.parquet"))
+        + glob.glob(os.path.join(root, "c*-*", "*.parquet"))
+    )
     if not files:
         return 0
     if len(files) <= 64:
@@ -270,6 +318,12 @@ def gc_changelog(lake_dir: str, *, drop_below_tick: int | None = None,
             if m and int(m.group(1)) < drop_below_tick:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
+        # compacted runs drop when their WHOLE range is below the cutoff —
+        # retention granularity over a compacted feed is the run
+        for d, ticks in _compacted_dirs(lake_dir):
+            if ticks and max(ticks) < drop_below_tick:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
     return removed
 
 
@@ -297,18 +351,213 @@ def committed_changelog_files(
     return out
 
 
+# -- compacted feed runs ------------------------------------------------------
+#
+# A long-running lake accumulates one file per (bucket, tick) under
+# _changelog/t*/ — tens of thousands of small files. ``compact_changelog``
+# merges committed tick dirs into per-bucket run files under
+# _changelog/c{lo:06d}-{hi:06d}/: ONE parquet per bucket with one ROW GROUP
+# per absorbed tick and a sidecar ``.json`` {tick: rg} index (the same
+# indexed-file trick as `compact --agglog`), plus ``range.json`` listing the
+# absorbed ticks. Ranged readers prune at row-group grain, so tick-bounded
+# consumption stays exact over a compacted feed.
+
+
+def _compacted_dirs(lake_dir: str) -> list[tuple[str, list[int]]]:
+    import json
+
+    out = []
+    for d in sorted(glob.glob(os.path.join(lake_dir, "_changelog", "c*-*"))):
+        rj = os.path.join(d, "range.json")
+        if not os.path.exists(rj):
+            continue  # staging leftovers are never named c*-* (see compactor)
+        with open(rj) as f:
+            out.append((d, list(json.load(f)["ticks"])))
+    return out
+
+
+def committed_changelog_parts(
+    lake_dir: str, from_tick: int | None = None, to_tick: int | None = None
+) -> list[dict]:
+    """Feed parts as ``{"file", "rgs"}`` descriptors; ``rgs=None`` means the
+    whole file (legacy per-tick part). Compacted runs take precedence over a
+    tick's own directory — a crash between publishing a compacted run and
+    removing its absorbed tick dirs double-references rows, which this
+    preference makes harmless."""
+    import json
+
+    from .lineage import LakeLineage
+
+    committed = {t["tick"] for t in LakeLineage(lake_dir).all_ticks()}
+
+    def in_range(t: int) -> bool:
+        if t not in committed:
+            return False
+        if from_tick is not None and t < from_tick:
+            return False
+        return not (to_tick is not None and t > to_tick)
+
+    parts: list[dict] = []
+    covered: set[int] = set()
+    for d, ticks in _compacted_dirs(lake_dir):
+        covered.update(ticks)
+        sel = {t for t in ticks if in_range(t)}
+        if not sel:
+            continue
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            idx_path = f[: -len(".parquet")] + ".json"
+            with open(idx_path) as fh:
+                idx = json.load(fh)
+            rgs = sorted(rg for t, rg in idx.items() if int(t) in sel)
+            if rgs:
+                parts.append({"file": f, "rgs": rgs})
+    for d in sorted(glob.glob(os.path.join(lake_dir, "_changelog", "t*"))):
+        m = re.search(r"t(\d+)$", d)
+        if not m:
+            continue
+        t = int(m.group(1))
+        if t in covered or not in_range(t):
+            continue
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            parts.append({"file": f, "rgs": None})
+    return parts
+
+
+def parts_dataset(parts: list[dict], columns: list[str] | None = None):
+    """Ray Dataset over feed parts. Whole-file parts take the plain
+    ``read_parquet`` path; row-group parts read their indexed groups in
+    tasks, aligned to the parts' unified schema (mid-stream evolution)."""
+    import ray.data
+
+    if not parts:
+        return ray.data.from_items([])
+    if all(p["rgs"] is None for p in parts):
+        return ray.data.read_parquet([p["file"] for p in parts], columns=columns)
+
+    from .schema_evo import align_to, unify_schemas
+
+    uni = unify_schemas([pq.read_schema(p["file"]) for p in parts])
+    if columns:
+        uni = pa.schema([f for f in uni if f.name in set(columns)])
+
+    def read_part(batch) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            pf = pq.ParquetFile(row["file"])
+            cols = (
+                [c for c in columns if c in pf.schema_arrow.names]
+                if columns
+                else None
+            )
+            if row["rgs"] is None:
+                t = pf.read(columns=cols)
+            else:
+                t = pf.read_row_groups([int(r) for r in row["rgs"]], columns=cols)
+            pf.close()
+            outs.append(align_to(t, uni).select(uni.names))
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        parts, override_num_blocks=len(parts)
+    ).map_batches(read_part, batch_format="pyarrow", batch_size=None)
+
+
+def compact_changelog(lake_dir: str) -> dict:
+    """Merge all committed per-tick feed dirs into one per-bucket run
+    (VERDICT r3 #8). Crash-safe: built in a ``.cstage-*`` staging dir,
+    published by a single directory rename, absorbed tick dirs removed
+    after; a crash in the removal window leaves double-referenced ticks
+    that readers resolve in the compacted run's favor. Idempotent —
+    a re-run absorbs whatever tick dirs remain."""
+    import json
+    import shutil
+    import uuid
+
+    import ray.data
+
+    from .lineage import LakeLineage
+    from .lock import writer_lock
+    from .schema_evo import align_to, unify_schemas
+
+    with writer_lock(lake_dir, "compact-feed"):
+        root = os.path.join(lake_dir, "_changelog")
+        for stray in glob.glob(os.path.join(root, ".cstage-*")):
+            shutil.rmtree(stray, ignore_errors=True)  # crashed prior attempt
+        committed = {t["tick"] for t in LakeLineage(lake_dir).all_ticks()}
+        covered = {t for _, ts in _compacted_dirs(lake_dir) for t in ts}
+        tdirs: list[tuple[int, str]] = []
+        for d in sorted(glob.glob(os.path.join(root, "t*"))):
+            m = re.search(r"t(\d+)$", d)
+            if m and int(m.group(1)) in committed and int(m.group(1)) not in covered:
+                tdirs.append((int(m.group(1)), d))
+        if len(tdirs) < 2:
+            return {"ticks": 0, "files_merged": 0}
+
+        ticks = [t for t, _ in tdirs]
+        lo, hi = min(ticks), max(ticks)
+        # group source files by bucket name (erase.parquet is its own group)
+        by_name: dict[str, list[tuple[int, str]]] = {}
+        n_src = 0
+        for t, d in tdirs:
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                by_name.setdefault(os.path.basename(f), []).append((t, f))
+                n_src += 1
+        stage = os.path.join(root, f".cstage-{uuid.uuid4().hex[:8]}")
+        os.makedirs(stage, exist_ok=True)
+
+        items = [
+            {"name": name, "ticks": [t for t, _ in srcs], "files": [f for _, f in srcs]}
+            for name, srcs in sorted(by_name.items())
+        ]
+
+        def merge_one(batch) -> pa.Table:
+            rows = []
+            for row in batch.to_pylist():
+                tabs = [pq.read_table(f) for f in row["files"]]
+                uni = unify_schemas([t.schema for t in tabs])
+                out_path = os.path.join(stage, row["name"])
+                idx: dict[str, int] = {}
+                writer = pq.ParquetWriter(out_path, uni, compression="zstd")
+                try:
+                    for rg, (t, tab) in enumerate(
+                        sorted(zip(row["ticks"], tabs), key=lambda x: x[0])
+                    ):
+                        aligned = align_to(tab, uni).select(uni.names)
+                        writer.write_table(
+                            aligned, row_group_size=max(aligned.num_rows, 1)
+                        )
+                        idx[str(t)] = rg
+                finally:
+                    writer.close()
+                with open(out_path[: -len(".parquet")] + ".json", "w") as fh:
+                    json.dump(idx, fh)
+                rows.append({"name": row["name"], "files": len(row["files"])})
+            import pandas as _pd
+
+            return pa.Table.from_pandas(_pd.DataFrame(rows))
+
+        if items:
+            ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+                merge_one, batch_format="pyarrow", batch_size=None
+            ).take_all()
+        with open(os.path.join(stage, "range.json"), "w") as fh:
+            json.dump({"from": lo, "to": hi, "ticks": sorted(ticks)}, fh)
+        final = os.path.join(root, f"c{lo:06d}-{hi:06d}")
+        shutil.rmtree(final, ignore_errors=True)  # crashed removal re-run
+        os.rename(stage, final)
+        for _, d in tdirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return {"ticks": len(ticks), "files_merged": n_src, "run": final}
+
+
 def read_changelog(
     lake_dir: str, from_tick: int | None = None, to_tick: int | None = None
 ):
     """The feed as a streaming ``ray.data.Dataset`` (ordered within a key by
     (tick, lsn) — consumers fold with last-writer-wins per key, exactly like
-    the engine itself)."""
-    import ray.data
-
-    files = committed_changelog_files(lake_dir, from_tick, to_tick)
-    if not files:
-        return ray.data.from_items([])
-    return ray.data.read_parquet(files)
+    the engine itself). Reads compacted runs and legacy per-tick parts
+    uniformly, with exact tick-range pruning at row-group grain."""
+    return parts_dataset(committed_changelog_parts(lake_dir, from_tick, to_tick))
 
 
 def feed_covers_from_start(lake_dir: str) -> bool:
@@ -324,6 +573,8 @@ def feed_covers_from_start(lake_dir: str) -> bool:
         m = re.search(r"t(\d+)$", d)
         if m:
             have.add(int(m.group(1)))
+    for _, absorbed in _compacted_dirs(lake_dir):
+        have.update(absorbed)
     return need <= have
 
 
@@ -357,8 +608,8 @@ def fold_feed(
 
     from .dedup import last_writer
 
-    files = committed_changelog_files(lake_dir, from_tick, to_tick)
-    if not files:
+    parts = committed_changelog_parts(lake_dir, from_tick, to_tick)
+    if not parts:
         return ray.data.from_items([])
 
     if keep_deletes is None:
@@ -395,7 +646,7 @@ def fold_feed(
     dctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
         return (
-            ray.data.read_parquet(files)
+            parts_dataset(parts)
             .map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
             .repartition(num_partitions, keys=KEYS)
             .map_batches(finish, batch_format="pyarrow", batch_size=None)

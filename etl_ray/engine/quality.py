@@ -182,20 +182,16 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
         return []
     if any(t.get("kind") == "bootstrap" for t in ticks):
         return []
-    import glob
     import os
-    import re
 
-    from .changelog import committed_changelog_files
+    from .changelog import (
+        committed_changelog_parts,
+        feed_covers_from_start,
+        parts_dataset,
+    )
 
     lake = ctx.lineage.lake_dir
-    have_dirs = {
-        int(re.search(r"t(\d+)$", d).group(1))
-        for d in glob.glob(os.path.join(lake, "_changelog", "t*"))
-        if re.search(r"t(\d+)$", d)
-    }
-    need = {t["tick"] for t in seg_ticks if t.get("changelog_rows", 0) > 0}
-    if not need <= have_dirs:
+    if not feed_covers_from_start(lake):
         return []  # retention dropped part of the feed: cannot audit
 
     import shutil
@@ -207,8 +203,8 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
     import ray
     import ray.data
 
-    files = committed_changelog_files(lake)
-    if not files:
+    feed_parts = committed_changelog_parts(lake)
+    if not feed_parts:
         return []
 
     nb = (ctx.prev_tick or {}).get("num_buckets") or max(
@@ -246,9 +242,7 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
             )
 
         shards = (
-            ray.data.read_parquet(
-                files, columns=["repo", "path", "lsn", "change_op"]
-            )
+            parts_dataset(feed_parts, columns=["repo", "path", "lsn", "change_op"])
             .map_batches(spill, batch_format="pyarrow", zero_copy_batch=True)
             .take_all()  # descriptors only: one row per (task, bucket)
         )

@@ -18,10 +18,22 @@ from etl_ray.engine.export import final_state
 
 
 def _feed_df(lake: str, **kw) -> pd.DataFrame:
-    files = committed_changelog_files(lake, **kw)
-    if not files:
+    from etl_ray.engine.changelog import committed_changelog_parts
+
+    parts = committed_changelog_parts(lake, **kw)
+    if not parts:
         return pd.DataFrame()
-    df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+    frames = []
+    for p in parts:
+        pf = pq.ParquetFile(p["file"])
+        t = (
+            pf.read()
+            if p["rgs"] is None
+            else pf.read_row_groups([int(r) for r in p["rgs"]])
+        )
+        pf.close()
+        frames.append(t.to_pandas())
+    df = pd.concat(frames, ignore_index=True)
     return df.sort_values(["tick", "lsn", "repo", "path"]).reset_index(drop=True)
 
 
@@ -346,3 +358,92 @@ def test_ranged_fold_keeps_delete_markers(feed_lake):
     got = live.sort_values(["repo", "path"])["lsn"].to_numpy()
     exp = state.sort_values(["repo", "path"])["lsn"].to_numpy()
     assert (got == exp).all()
+
+
+def test_compact_feed(ray_session, small_wal, tmp_path):
+    """VERDICT r3 #8: `compact --feed` merges per-(tick, bucket) parts into
+    per-bucket runs (one row group per tick + sidecar index) with NO change
+    to what consumers see: full and tick-ranged reads identical, fold still
+    equals live state, retention/audit/erasure still work, re-run no-ops."""
+    import numpy as np
+
+    from etl_ray.engine.changelog import (
+        compact_changelog,
+        committed_changelog_parts,
+        feed_covers_from_start,
+        fold_feed,
+        gc_changelog,
+    )
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, emit_changelog=True
+    ).replay_all(segments_per_tick=1)
+
+    def canon(df):
+        cols = ["tick", "lsn", "repo", "path", "change_op", "deleted"]
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    before = canon(_feed_df(lake))
+    ranged_before = canon(_feed_df(lake, from_tick=1, to_tick=2))
+    n_small = len(glob.glob(os.path.join(lake, "_changelog", "t*", "*.parquet")))
+
+    res = compact_changelog(lake)
+    assert res["ticks"] >= 3 and res["files_merged"] == n_small
+    assert not glob.glob(os.path.join(lake, "_changelog", "t*")), "tick dirs absorbed"
+    n_after = len(glob.glob(os.path.join(lake, "_changelog", "c*-*", "*.parquet")))
+    assert n_after < n_small, "fewer files is the point"
+
+    pd.testing.assert_frame_equal(canon(_feed_df(lake)), before)
+    # ranged read goes through row-group pruning on the compacted run
+    pd.testing.assert_frame_equal(
+        canon(_feed_df(lake, from_tick=1, to_tick=2)), ranged_before
+    )
+    assert feed_covers_from_start(lake)
+
+    # consumer fold over the compacted feed still equals the live state
+    folded = (
+        fold_feed(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    state = (
+        final_state(lake).to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert len(folded) == len(state)
+    assert (folded["lsn"].to_numpy() == state["lsn"].to_numpy()).all()
+
+    # the offline audit runs green over the compacted layout
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.quality import TickContext, check_feed_consistency
+
+    lin = LakeLineage(lake)
+    mans = lin.all_bucket_manifests()
+    ctx = TickContext(
+        lineage=lin, tick=lin.last_tick()["tick"], events=0, segments=[],
+        new_manifests=mans, prev_manifests={m["bucket"]: m for m in mans},
+        prev_tick=lin.last_tick(),
+    )
+    assert check_feed_consistency(ctx) == []
+
+    # GDPR purge rewrites compacted groups and keeps the index exact
+    subj = (str(before["repo"].iloc[0]), str(before["path"].iloc[0]))
+    from etl_ray.engine.changelog import purge_keys_from_changelog
+
+    removed = purge_keys_from_changelog(lake, [subj])
+    assert removed > 0
+    after_purge = _feed_df(lake)
+    hit = (after_purge["repo"] == subj[0]) & (after_purge["path"] == subj[1])
+    assert not hit.any()
+    pd.testing.assert_frame_equal(
+        canon(_feed_df(lake, from_tick=1, to_tick=2)),
+        ranged_before[
+            ~((ranged_before["repo"] == subj[0]) & (ranged_before["path"] == subj[1]))
+        ].reset_index(drop=True),
+    )
+
+    # second compact is a no-op; retention drops the run only when its
+    # whole range is below the cutoff
+    assert compact_changelog(lake)["ticks"] == 0
+    hi = lin.last_tick()["tick"]
+    assert gc_changelog(lake, drop_below_tick=hi) == 0
+    assert gc_changelog(lake, drop_below_tick=hi + 1) == 1
+    assert committed_changelog_parts(lake) == []
