@@ -123,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
         help="drop feed directories older than this many ticks (default: keep all)",
     )
     r.add_argument(
+        "--state-mode",
+        choices=["rewrite", "delta"],
+        default="rewrite",
+        help="bucket state layout: 'rewrite' rewrites the full bucket each "
+        "touched tick; 'delta' appends one O(touched-keys) file per tick "
+        "and folds into a fresh base past --delta-threshold (merge-on-read, "
+        "same LWW semantics, far less write amplification)",
+    )
+    r.add_argument("--delta-threshold", type=int, default=8)
+    r.add_argument(
         "--ext-map",
         default=None,
         help="path to a JSON ext→lang overlay of the built-in enrichment "
@@ -401,6 +411,8 @@ def main(argv: list[str] | None = None) -> int:
                 changelog_retain=args.changelog_retain,
                 deadline_minutes=args.deadline_minutes,
                 ext_map_path=args.ext_map,
+                state_mode=args.state_mode,
+                delta_threshold=args.delta_threshold,
             )
             from etl_ray.engine.replay import DeadlineExceededError
 

@@ -50,6 +50,8 @@ MANIFEST_SCHEMA = pa.schema(
         ("live_rows", pa.int64()),
         ("delta_rows", pa.int64()),
         ("data_file", pa.string()),
+        ("delta_files", pa.list_(pa.string())),  # base+delta layout (delta mode)
+        ("bytes_written", pa.int64()),  # state+delta+fold bytes this apply
         ("fold_file", pa.string()),  # LSN-tail sidecar when folds are active
         ("fold_through_lsn", pa.int64()),  # max WAL lsn folded (fold horizon)
     ]
@@ -58,6 +60,49 @@ MANIFEST_SCHEMA = pa.schema(
 
 def fold_tail_path(state_path: str) -> str:
     return state_path[: -len(".parquet")] + ".fold.parquet"
+
+
+def bucket_files(man: dict) -> list[str]:
+    """A bucket's content files in fold order: base, then deltas oldest
+    first (delta-mode lakes; a rewrite-mode manifest has just the base)."""
+    return [man["data_file"], *(man.get("delta_files") or [])]
+
+
+def read_bucket_state(man: dict, columns: list[str] | None = None) -> pa.Table:
+    """Merge-on-read of one bucket: base state + appended tick deltas,
+    folded with the engine's own LWW kernel (later delta files win ties by
+    physical order — the list is tick-ordered). The single-file fast path
+    costs exactly what the old direct read did.
+
+    ``columns``: projection applied AFTER the fold (keys + lsn are read
+    regardless — the fold needs them); missing columns come back null."""
+    files = bucket_files(man)
+    need = None
+    if columns is not None:
+        need = list(dict.fromkeys([*KEYS, "lsn", *columns]))
+    if len(files) == 1:
+        pf = pq.ParquetFile(files[0])
+        cols = [c for c in need if c in pf.schema_arrow.names] if need else None
+        t = pf.read(columns=cols)
+        pf.close()
+    else:
+        tabs = []
+        for f in files:
+            pf = pq.ParquetFile(f)
+            cols = [c for c in need if c in pf.schema_arrow.names] if need else None
+            tabs.append(pf.read(columns=cols))
+            pf.close()
+        uni = unify_schemas([t.schema for t in tabs])
+        t = pa.concat_tables([align_to(x, uni).select(uni.names) for x in tabs])
+        t = last_writer(t, keys=KEYS).sort_by([(k, "ascending") for k in KEYS])
+    if columns is not None:
+        out = {}
+        for c in columns:
+            out[c] = (
+                t[c] if c in t.schema.names else pa.nulls(t.num_rows, pa.int64())
+            )
+        t = pa.table(out)
+    return t
 
 
 def apply_folds(
@@ -181,6 +226,8 @@ class MergeApplier:
         folds: list | None = None,
         fold_lateness: int = 0,
         changelog: bool = False,
+        state_mode: str = "rewrite",  # "rewrite" | "delta" (base+delta)
+        delta_threshold: int = 8,  # deltas folded into a new base beyond this
     ):
         # once per actor: lineage handles + deserialized target schema
         self.lineage = LakeLineage(lake_dir)
@@ -189,6 +236,8 @@ class MergeApplier:
         self.folds = folds or []
         self.fold_lateness = fold_lateness
         self.changelog = changelog
+        self.state_mode = state_mode
+        self.delta_threshold = delta_threshold
 
     def _read_rgs(self, files, rgs) -> pa.Table | None:
         if not hasattr(self, "_pf_cache"):
@@ -257,7 +306,7 @@ class MergeApplier:
         man = self.lineage.bucket_manifest(bucket)
         state = None
         if man is not None:
-            state = pq.read_table(man["data_file"])
+            state = read_bucket_state(man)  # merge-on-read in delta mode
             merged_schema = unify_schemas([state.schema, deltas.schema])
             state_al = align_to(state, merged_schema)
             deltas = align_to(deltas, merged_schema)
@@ -281,7 +330,22 @@ class MergeApplier:
                 changelog_delta(state, merged),
             )
 
-        out_path = self.lineage.bucket_state_path(bucket, self.tick)
+        # base+delta (S3 semantics kept, write amplification dropped): an
+        # existing bucket appends ONE file of this tick's touched-key winner
+        # rows; readers fold base+deltas with the same LWW kernel. Past the
+        # threshold (or in rewrite mode / first write) the fold lands as a
+        # fresh base and the delta chain resets.
+        prev_deltas = list((man or {}).get("delta_files") or [])
+        write_delta = (
+            self.state_mode == "delta"
+            and man is not None
+            and len(prev_deltas) < self.delta_threshold
+        )
+        if write_delta:
+            out_path = self.lineage.bucket_delta_path(bucket, self.tick)
+        else:
+            out_path = self.lineage.bucket_state_path(bucket, self.tick)
+
         fold_file = None
         fold_hi = (man or {}).get("fold_through_lsn") or 0
         if self.folds and fold_rows is not None:
@@ -302,9 +366,29 @@ class MergeApplier:
             pq.write_table(tail, ftmp, compression="snappy")
             os.replace(ftmp, fold_file)
 
+        if write_delta:
+            # this tick's winner rows for TOUCHED keys only (with fold
+            # columns riding along) — the whole point: O(touched), not
+            # O(bucket). A late already-applied key re-emits its (identical)
+            # current winner, which merge-on-read resolves by tie-break.
+            dk = pc.unique(
+                pc.binary_join_element_wise(deltas["repo"], deltas["path"], "\x1f")
+            )
+            mk = pc.binary_join_element_wise(merged["repo"], merged["path"], "\x1f")
+            out_tab = merged.filter(pc.is_in(mk, value_set=dk))
+            data_file = man["data_file"]
+            delta_files = prev_deltas + [out_path]
+        else:
+            out_tab = merged
+            data_file = out_path
+            delta_files = []
+
         tmp = out_path + f".{os.getpid()}.tmp"
-        pq.write_table(merged, tmp, compression="zstd")
+        pq.write_table(out_tab, tmp, compression="zstd")
         os.replace(tmp, out_path)
+        bytes_written = os.path.getsize(out_path)
+        if fold_file:
+            bytes_written += os.path.getsize(fold_file)
 
         live = merged.num_rows - pc.sum(merged[DELETED_COL]).as_py()
         return pa.table(
@@ -315,7 +399,9 @@ class MergeApplier:
                 "rows": pa.array([merged.num_rows], pa.int64()),
                 "live_rows": pa.array([live], pa.int64()),
                 "delta_rows": pa.array([group.num_rows], pa.int64()),
-                "data_file": pa.array([out_path], pa.string()),
+                "data_file": pa.array([data_file], pa.string()),
+                "delta_files": pa.array([delta_files], pa.list_(pa.string())),
+                "bytes_written": pa.array([bytes_written], pa.int64()),
                 "fold_file": pa.array([fold_file], pa.string()),
                 "fold_through_lsn": pa.array([fold_hi], pa.int64()),
             }
@@ -357,16 +443,20 @@ class WarmApplierActor:
         folds: list | None = None,
         fold_lateness: int = 0,
         changelog: bool = False,
+        state_mode: str = "rewrite",
+        delta_threshold: int = 8,
     ):
         self.changelog = changelog
         self.lineage = LakeLineage(lake_dir)
-        # bucket → (data_file the cache corresponds to, state table)
-        self.cache: dict[int, tuple[str, pa.Table]] = {}
+        # bucket → (content-file tuple the cache corresponds to, state table)
+        self.cache: dict[int, tuple[tuple, pa.Table]] = {}
         self.max_cached = max_cached
         self._pf_cache: dict[str, pq.ParquetFile] = {}
         self._pf_tick = -1
         self.folds = folds or []
         self.fold_lateness = fold_lateness
+        self.state_mode = state_mode
+        self.delta_threshold = delta_threshold
 
     def _read_rgs(self, files, rgs) -> pa.Table | None:
         parts = []
@@ -396,10 +486,10 @@ class WarmApplierActor:
         state = None
         cached = self.cache.get(bucket)
         if man is not None:
-            if cached is not None and cached[0] == man["data_file"]:
+            if cached is not None and cached[0] == tuple(bucket_files(man)):
                 state = cached[1]
             else:
-                state = pq.read_table(man["data_file"])
+                state = read_bucket_state(man)
         if state is not None:
             merged_schema = unify_schemas([state.schema, deltas.schema])
             merged = pa.concat_tables(
@@ -417,7 +507,17 @@ class WarmApplierActor:
                 self.lineage.lake_dir, tick, bucket, changelog_delta(state, merged)
             )
 
-        out_path = self.lineage.bucket_state_path(bucket, tick)
+        prev_deltas = list((man or {}).get("delta_files") or [])
+        write_delta = (
+            self.state_mode == "delta"
+            and man is not None
+            and len(prev_deltas) < self.delta_threshold
+        )
+        if write_delta:
+            out_path = self.lineage.bucket_delta_path(bucket, tick)
+        else:
+            out_path = self.lineage.bucket_state_path(bucket, tick)
+
         fold_file = None
         fold_hi = (man or {}).get("fold_through_lsn") or 0
         if self.folds and fold_rows is not None:
@@ -436,13 +536,29 @@ class WarmApplierActor:
             pq.write_table(tail, ftmp, compression="snappy")
             os.replace(ftmp, fold_file)
 
+        if write_delta:
+            dk = pc.unique(
+                pc.binary_join_element_wise(deltas["repo"], deltas["path"], "\x1f")
+            )
+            mk = pc.binary_join_element_wise(merged["repo"], merged["path"], "\x1f")
+            out_tab = merged.filter(pc.is_in(mk, value_set=dk))
+            data_file = man["data_file"]
+            delta_files = prev_deltas + [out_path]
+        else:
+            out_tab = merged
+            data_file = out_path
+            delta_files = []
+
         tmp = out_path + f".{os.getpid()}.tmp"
-        pq.write_table(merged, tmp, compression="zstd")
+        pq.write_table(out_tab, tmp, compression="zstd")
         os.replace(tmp, out_path)
+        bytes_written = os.path.getsize(out_path)
+        if fold_file:
+            bytes_written += os.path.getsize(fold_file)
 
         if len(self.cache) >= self.max_cached and bucket not in self.cache:
             self.cache.pop(next(iter(self.cache)))  # FIFO evict
-        self.cache[bucket] = (out_path, merged)
+        self.cache[bucket] = (tuple([data_file, *delta_files]), merged)
 
         live = merged.num_rows - pc.sum(merged[DELETED_COL]).as_py()
         return {
@@ -452,7 +568,9 @@ class WarmApplierActor:
             "rows": int(merged.num_rows),
             "live_rows": int(live),
             "delta_rows": int(deltas.num_rows),
-            "data_file": out_path,
+            "data_file": data_file,
+            "delta_files": delta_files,
+            "bytes_written": int(bytes_written),
             "fold_file": fold_file,
             "fold_through_lsn": int(fold_hi),
         }

@@ -86,25 +86,45 @@ def final_state(
     ``as_of_tick`` time-travels to a past commit point (requires the lake to
     have been replayed with ``retain_ticks`` covering it)."""
     lineage = LakeLineage(lake_dir)
+    manifests = lineage.all_bucket_manifests()
     if as_of_tick is not None:
         files = _as_of_files(lineage, as_of_tick)
+        delta_mode = False
     else:
-        manifests = lineage.all_bucket_manifests()
         files = [m["data_file"] for m in manifests]
+        delta_mode = any(m.get("delta_files") for m in manifests)
     if not files:
         raise FileNotFoundError(f"no committed bucket manifests under {lake_dir}")
 
     # schema evolution: old buckets may predate new columns — unify + align
     import pyarrow.parquet as pq
 
-    target = unify_schemas([pq.read_schema(f) for f in files])
+    if delta_mode:
+        # base+delta lake: one task per bucket does the merge-on-read fold
+        # (same parallelism as the appliers — the engine's own shuffle grain)
+        from .apply import bucket_files, read_bucket_state
 
-    # partitioning=None: the bucket layout (buckets/b=00017/...) must NOT be
-    # hive-inferred into a phantom `b` partition column on every export
-    ds = ray.data.read_parquet(files, partitioning=None)
-    ds = ds.map_batches(
-        lambda t: align_to(t, target), batch_format="pyarrow", zero_copy_batch=True
-    )
+        all_files = [f for m in manifests for f in bucket_files(m)]
+        target = unify_schemas([pq.read_schema(f) for f in all_files])
+
+        def fold_bucket(batch: pa.Table) -> pa.Table:
+            outs = [
+                align_to(read_bucket_state(m), target)
+                for m in batch.to_pylist()
+            ]
+            return pa.concat_tables(o.select(target.names) for o in outs)
+
+        ds = ray.data.from_items(
+            manifests, override_num_blocks=len(manifests)
+        ).map_batches(fold_bucket, batch_format="pyarrow", batch_size=None)
+    else:
+        target = unify_schemas([pq.read_schema(f) for f in files])
+        # partitioning=None: the bucket layout (buckets/b=00017/...) must NOT
+        # be hive-inferred into a phantom `b` partition column on every export
+        ds = ray.data.read_parquet(files, partitioning=None)
+        ds = ds.map_batches(
+            lambda t: align_to(t, target), batch_format="pyarrow", zero_copy_batch=True
+        )
     if not include_tombstones:
         ds = ds.map_batches(
             lambda t: t.filter(pc.equal(t[DELETED_COL], False)).drop_columns([DELETED_COL]),

@@ -67,6 +67,10 @@ class LakeLineage:
     def bucket_state_path(self, bucket: int, tick: int) -> str:
         return os.path.join(self.bucket_dir(bucket), f"state-t{tick:06d}.parquet")
 
+    def bucket_delta_path(self, bucket: int, tick: int) -> str:
+        """Appended tick delta in base+delta mode (see apply.read_bucket_state)."""
+        return os.path.join(self.bucket_dir(bucket), f"state-t{tick:06d}.delta.parquet")
+
     # -- bucket manifests ----------------------------------------------------
 
     def _bucket_manifest_path(self, bucket: int) -> str:
@@ -184,6 +188,8 @@ class LakeLineage:
         live = set()
         for m in self.all_bucket_manifests():
             live.add(m["data_file"])
+            for f in m.get("delta_files") or []:
+                live.add(f)  # base+delta layout (apply.read_bucket_state)
             if m.get("fold_file"):
                 live.add(m["fold_file"])  # fold LSN-tail sidecar
         cutoff = None
@@ -196,8 +202,19 @@ class LakeLineage:
             all_files = sorted(glob.glob(os.path.join(bdir, "state-t*.parquet")))
             # .fold.parquet LSN-tail sidecars ride with their base state file
             folds = [f for f in all_files if f.endswith(".fold.parquet")]
-            files = [f for f in all_files if not f.endswith(".fold.parquet")]
+            # tick deltas live and die by manifest reference alone (no
+            # time-travel window: delta mode rejects retain_ticks)
+            deltas = [f for f in all_files if f.endswith(".delta.parquet")]
+            files = [
+                f
+                for f in all_files
+                if not f.endswith((".fold.parquet", ".delta.parquet"))
+            ]
             keep = set(f for f in files if f in live)
+            for f in deltas:
+                if f not in live:
+                    os.remove(f)
+                    removed += 1
             if cutoff is not None:
                 below = []
                 for f in files:

@@ -92,10 +92,12 @@ def _erase_keys_locked(
     repos = pa.array([k[0] for k in keys], pa.string())
     paths = pa.array([k[1] for k in keys], pa.string())
     n = len(keys)
-    # state-shaped tombstone rows (schema of the current lake)
-    files = [m["data_file"] for m in lineage.all_bucket_manifests()]
+    # state-shaped tombstone rows (schema of the current lake — delta files
+    # included: the newest columns may exist only in appended deltas)
+    from .apply import bucket_files
     from .schema_evo import unify_schemas
 
+    files = [f for m in lineage.all_bucket_manifests() for f in bucket_files(m)]
     target = unify_schemas([pq.read_schema(f) for f in files])
     cols = {}
     for f in target:
@@ -308,7 +310,9 @@ def _rebucket_locked(
         raise RuntimeError("empty lake")
     tick_id = last["tick"] + 1
     old_manifests = lineage.all_bucket_manifests()
-    files = [m["data_file"] for m in old_manifests]
+    from .apply import bucket_files as _bucket_files
+
+    files = [f for m in old_manifests for f in _bucket_files(m)]
     target = unify_schemas([pq.read_schema(f) for f in files])
     if drop_columns:
         # explicit column repair while the whole lake rewrites anyway —
@@ -393,8 +397,12 @@ def _rebucket_locked(
 
     @ray.remote(num_cpus=1)
     def write_bucket(bucket: int, fs: list[str], rgs: list[int]) -> dict:
+        from .dedup import last_writer
+
         parts = [pq.ParquetFile(f).read_row_group(rg) for f, rg in zip(fs, rgs)]
-        t = pa.concat_tables(parts).sort_by(
+        # fold before writing: a delta-mode source repeats touched keys
+        # across base+delta files (no-op on an already-folded rewrite lake)
+        t = last_writer(pa.concat_tables(parts)).sort_by(
             [("repo", "ascending"), ("path", "ascending")]
         )
         out_path = LakeLineage(lake_dir).bucket_state_path(bucket, tick_id)
@@ -650,23 +658,27 @@ def _compact_tombstones_locked(
         watermark = keep_after_lsn
     tick_id = last["tick"] + 1
 
+    from .apply import read_bucket_state
+
     removed = rewritten = 0
     for man in lineage.all_bucket_manifests():
-        t = pq.read_table(man["data_file"])
+        t = read_bucket_state(man)  # folded view in delta mode
         dead = pc.and_(t[DELETED_COL], pc.less_equal(t["lsn"], watermark))
         n_dead = pc.sum(dead).as_py() or 0
-        if n_dead == 0:
+        if n_dead == 0 and not man.get("delta_files"):
             continue
         kept = t.filter(pc.invert(dead))
         out_path = lineage.bucket_state_path(man["bucket"], tick_id)
         pq.write_table(kept, out_path + ".tmp", compression="zstd")
         os.replace(out_path + ".tmp", out_path)
+        # compaction always lands as a fresh BASE: the delta chain resets
         lineage.publish_bucket(
             dict(
                 man,
                 tick=tick_id,
                 rows=kept.num_rows,
                 data_file=out_path,
+                delta_files=[],
             )
         )
         removed += n_dead

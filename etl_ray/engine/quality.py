@@ -136,11 +136,13 @@ def check_unique_live_key(ctx: TickContext) -> list[dict]:
     file (``base.yaml`` uniqueness-by-unique_id analog). Reads only the
     buckets this tick rewrote; the group-count runs per bucket file, never
     a global shuffle."""
-    import pyarrow.parquet as pq
+    from .apply import read_bucket_state
 
     out = []
     for m in ctx.new_manifests:
-        t = pq.read_table(m["data_file"], columns=["repo", "path"])
+        # merge-on-read in delta mode: uniqueness holds on the FOLDED view
+        # (raw base+delta files legitimately repeat a touched key)
+        t = read_bucket_state(m, columns=["repo", "path"])
         dup = t.num_rows - len(
             t.group_by(["repo", "path"]).aggregate([([], "count_all")])
         )
@@ -251,9 +253,9 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
             fs, rgs = by_bucket.setdefault(int(r["bucket"]), ([], []))
             fs.append(r["file"])
             rgs.append(int(r["rg"]))
-        state_files = {m["bucket"]: m["data_file"] for m in ctx.new_manifests}
+        state_mans = {m["bucket"]: dict(m) for m in ctx.new_manifests}
 
-        def compare(bucket: int, feed_files, feed_rgs, state_file) -> dict:
+        def compare(bucket: int, feed_files, feed_rgs, state_man) -> dict:
             if feed_files:
                 t = pa.concat_tables(
                     pq.ParquetFile(f).read_row_group(rg)
@@ -276,9 +278,11 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
                 )
             else:
                 folded = set()
-            if state_file:
-                s = pq.read_table(
-                    state_file, columns=["repo", "path", "lsn", "deleted"]
+            if state_man:
+                from .apply import read_bucket_state
+
+                s = read_bucket_state(
+                    state_man, columns=["repo", "path", "lsn", "deleted"]
                 )
                 s = s.filter(pc.invert(s["deleted"]))
                 state = set(
@@ -297,14 +301,14 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
             }
 
         task = ray.remote(num_cpus=1)(compare)
-        all_buckets = sorted(set(by_bucket) | set(state_files))
+        all_buckets = sorted(set(by_bucket) | set(state_mans))
         res = ray.get(
             [
                 task.remote(
                     b,
                     by_bucket.get(b, ([], []))[0],
                     by_bucket.get(b, ([], []))[1],
-                    state_files.get(b),
+                    state_mans.get(b),
                 )
                 for b in all_buckets
             ]

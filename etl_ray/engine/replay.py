@@ -88,7 +88,17 @@ class ReplayEngine:
         deadline_minutes: float | None = None,  # per-run wall-clock budget
         on_event=None,  # alert callback(s): see engine/alerts.py
         ext_map_path: str | None = None,  # versioned enrichment dim (JSON)
+        state_mode: str = "rewrite",  # "rewrite" | "delta" (base+delta buckets)
+        delta_threshold: int = 8,  # delta files per bucket before a base fold
     ):
+        if state_mode not in ("rewrite", "delta"):
+            raise ValueError(f"state_mode must be rewrite|delta, got {state_mode!r}")
+        if state_mode == "delta" and retain_ticks:
+            # time travel picks per-bucket files by tick NAME; a delta chain
+            # has no per-tick full image to pin. Explicitly unsupported.
+            raise ValueError("retain_ticks (time travel) requires state_mode='rewrite'")
+        self.state_mode = state_mode
+        self.delta_threshold = int(delta_threshold)
         # Versioned broadcast dimension (the reference refreshes its
         # currency/GeoIP dims on side-DAGs — DAG_get_currencies_data.py:33-63,
         # DAG_update_geoip_db.py:32-51): a JSON overlay of the built-in
@@ -181,7 +191,7 @@ class ReplayEngine:
             self._warm_actors = [
                 WarmApplierActor.options(num_cpus=0).remote(
                     self.lake_dir, 256, self.folds, self.fold_lateness,
-                    self.emit_changelog,
+                    self.emit_changelog, self.state_mode, self.delta_threshold,
                 )
                 for _ in range(k)
             ]
@@ -409,6 +419,7 @@ class ReplayEngine:
             fn_constructor_args=(
                 self.lake_dir, tick_id, schema_ser, self.folds,
                 self.fold_lateness, self.emit_changelog,
+                self.state_mode, self.delta_threshold,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -429,7 +440,7 @@ class ReplayEngine:
                 MergeApplier,
                 fn_constructor_args=(
                     self.lake_dir, tick_id, schema_ser, None, 0,
-                    self.emit_changelog,
+                    self.emit_changelog, self.state_mode, self.delta_threshold,
                 ),
                 batch_format="pyarrow",
                 concurrency=self._applier_pool_size(),
@@ -439,7 +450,8 @@ class ReplayEngine:
         return parts.map_batches(
             MergeApplier,
             fn_constructor_args=(
-                self.lake_dir, tick_id, schema_ser, None, 0, self.emit_changelog
+                self.lake_dir, tick_id, schema_ser, None, 0,
+                self.emit_changelog, self.state_mode, self.delta_threshold,
             ),
             batch_format="pyarrow",
             batch_size=None,  # one batch per hash partition (whole buckets)
@@ -754,6 +766,13 @@ class ReplayEngine:
                 "quality": quality_summary,
                 "changelog": self.emit_changelog,
                 "changelog_rows": changelog_rows,
+                # state bytes written by this tick's appliers (base rewrites
+                # + appended deltas + fold tails) — the base+delta win shows
+                # up here as bytes/tick dropping from O(bucket) to O(touched)
+                "state_bytes_written": int(
+                    sum(m.get("bytes_written") or 0 for m in manifests)
+                ),
+                "state_mode": self.state_mode,
                 # enrichment-dim lineage: which dim version tagged this tick
                 "dim_version": dim_version,
             }

@@ -271,21 +271,17 @@ def _publish_view_manifest(view_dir: str, obj: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
-def _repo_partial_of_state(data_file: str, out_path: str) -> int:
-    """Recompute one bucket's per-repo partial from its state file.
-    Idempotent (pure function of the state file); atomic publish."""
+def _repo_partial_of_state(man: dict, out_path: str) -> int:
+    """Recompute one bucket's per-repo partial from its committed state
+    (merge-on-read in delta mode). Idempotent; atomic publish."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(data_file)
-    names = set(pf.schema_arrow.names)
-    cols = [c for c in ("repo", "size_bytes", "lsn", "deleted") if c in names]
-    t = pf.read(columns=cols)
-    pf.close()
-    live = t.filter(pc.invert(t["deleted"]))
-    if "size_bytes" not in names:
-        live = live.append_column("size_bytes", pa.nulls(live.num_rows, pa.int64()))
+    from .apply import read_bucket_state
+
+    t = read_bucket_state(man, columns=["repo", "size_bytes", "lsn", "deleted"])
+    live = t.filter(pc.invert(pc.coalesce(t["deleted"], pa.scalar(False))))
     g = live.group_by("repo").aggregate(
         [("lsn", "max"), ("size_bytes", "sum"), ([], "count_all")]
     )
@@ -354,7 +350,7 @@ def refresh_repo_stats(upstream_dir: str, view_dir: str) -> dict | None:
             task = ray.remote(num_cpus=1)(_repo_partial_of_state)
             futs = [
                 task.remote(
-                    m["data_file"], os.path.join(pdir, f"b={m['bucket']:05d}.parquet")
+                    dict(m), os.path.join(pdir, f"b={m['bucket']:05d}.parquet")
                 )
                 for m in touched
             ]
