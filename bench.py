@@ -57,6 +57,51 @@ def _warm_cache(paths):
                 pass
 
 
+# Quiet-window calibration of the control probe on this box (medians of
+# repeated idle-machine runs; see BASELINE.md "Box-phase control probe").
+# The probe is FIXED work, so probe_time / quiet_median is a unitless
+# interference factor any bench snapshot carries along — a reader can
+# normalize a slow headline by the phase the box was in when it ran.
+QUIET_SHA_SEC = 0.048  # sha256 over a fixed 64 MiB buffer, single thread
+QUIET_MEMCPY_GBPS = 9.0  # single-thread 512 MiB numpy copy, copy-GB/s
+
+
+def _control_probe(repeats: int = 3) -> dict:
+    """Fixed pure-compute + single-thread memcpy probe (box-phase
+    calibration). sha256 is core-speed-bound (hashlib's C loop, working set
+    well under LLC); the memcpy is DRAM-bound — together they separate
+    "slow cores" (CPU-stolen VM) from "saturated memory bus" (the noisy
+    neighbor mode this box actually exhibits). Best-of-N: the least
+    interfered sample is the calibration, the spread is the noise."""
+    import hashlib
+
+    import numpy as np
+
+    buf = b"\xa5" * (1 << 26)  # 64 MiB
+    src = np.full(1 << 26, 7, dtype=np.int64)  # 512 MiB
+    dst = np.zeros_like(src)  # pre-faulted: the timed copy measures DRAM,
+    np.copyto(dst, src)  # not page faults (plus one untimed warmup pass)
+    sha_secs, cp_secs = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        hashlib.sha256(buf).hexdigest()
+        sha_secs.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        cp_secs.append(time.perf_counter() - t0)
+    sha = min(sha_secs)
+    gbps = src.nbytes / min(cp_secs) / 1e9
+    return {
+        "control_sha_sec": round(sha, 4),
+        "control_sha_quiet_sec": QUIET_SHA_SEC,
+        "control_memcpy_gbps": round(gbps, 2),
+        "control_memcpy_quiet_gbps": QUIET_MEMCPY_GBPS,
+        # >1 = box slower than quiet; headline × 1/phase ≈ quiet-window cost
+        "box_phase_cpu": round(sha / QUIET_SHA_SEC, 2),
+        "box_phase_dram": round(QUIET_MEMCPY_GBPS / gbps, 2),
+    }
+
+
 def run_bench() -> dict:
     ray = _init_ray(NUM_CPUS)
     import shutil
@@ -70,8 +115,10 @@ def run_bench() -> dict:
     wal = em._ensure_wal(SF_DIR)
     _warm_cache(wal.segment_files)
     lake = os.path.join(em._SCRATCH, f"bench-lake-{NUM_CPUS}")
-    cdc_trials = []
-    for _ in range(2):  # best-of-2: the sandbox VM has bursty interference
+    control = _control_probe()  # box-phase calibration, stamped in the JSON
+
+    def one_trial() -> float:
+        nonlocal eng
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
         eng = ReplayEngine(
@@ -81,7 +128,24 @@ def run_bench() -> dict:
             concurrency=NUM_CPUS,
         )
         eng.replay_all()
-        cdc_trials.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    eng = None
+    cdc_trials = []
+    for _ in range(2):  # best-of-2: the sandbox VM has bursty interference
+        cdc_trials.append(one_trial())
+    # self-normalizing retry: if the control says the box was in an
+    # interfered phase (>1.5x its quiet median on either axis), wait out
+    # the burst and take one more sample — the min is the headline
+    control_after = _control_probe()
+    worst_phase = max(
+        control["box_phase_cpu"], control["box_phase_dram"],
+        control_after["box_phase_cpu"], control_after["box_phase_dram"],
+    )
+    if worst_phase > 1.5:
+        time.sleep(20)
+        cdc_trials.append(one_trial())
+        control_after = _control_probe()
     cdc_sec = min(cdc_trials)
     timings["cdc_replay"] = round(cdc_sec, 3)
     # seed the query-layer replay cache with the composite key _replay() uses,
@@ -114,6 +178,13 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "cdc_events": wal.n_events,
         "cdc_events_per_sec": round(wal.n_events / cdc_sec, 1),
+        "trials_sec": [round(s, 3) for s in cdc_trials],
+        # box-phase calibration: fixed-work probes run before/after the
+        # headline; box_phase_* > 1 means the box was slower than its quiet
+        # median by that factor WHILE THIS SNAPSHOT RAN (headline/phase ≈
+        # the quiet-window cost). >1.5 triggered one extra headline trial.
+        "control_before": control,
+        "control_after": control_after,
         # orchestration evidence: independent task counts of the last tick
         "stage_tasks": {
             "stage1_tasks": getattr(eng, "last_stage1_tasks", None),
@@ -292,6 +363,7 @@ def run_cdc_only() -> dict:
         "cdc_events": wal.n_events,
         "cdc_events_per_sec": round(wal.n_events / sec, 1),
         "stage_tasks": stage_tasks,
+        "control": _control_probe(repeats=1),  # box phase for this sample
     }
 
 
