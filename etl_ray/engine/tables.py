@@ -31,7 +31,24 @@ import json
 import os
 from dataclasses import dataclass, field
 
-VIEW_KINDS = ("repo_stats",)
+VIEW_KINDS = ("repo_stats", "aggregate")
+
+# supported aggregate-view functions; sum/count/min/max are distributive
+# (exact under the two-level partial/reduce), mean decomposes into sum+count
+AGG_FNS = ("sum", "count", "min", "max", "mean")
+
+# the repo_stats preset, expressed in the generic aggregate-view spec — the
+# reference's semantic layer is exactly this shape: config-driven
+# materialized tables of (metric name, select expression) fields
+# (``lib/app_config/materialized_fields_config.py:22-66``)
+REPO_STATS_AGG = {
+    "group_by": ["repo"],
+    "aggs": [
+        {"out": "live_files", "fn": "count"},
+        {"out": "total_bytes", "col": "size_bytes", "fn": "sum", "default": 0},
+        {"out": "last_lsn", "col": "lsn", "fn": "max"},
+    ],
+}
 
 
 @dataclass
@@ -57,6 +74,13 @@ class TableSpec:
     shuffle: str = "spill"
     view: str | None = None  # derived-view kind, see VIEW_KINDS
     source: str | None = None  # upstream table name (views only)
+    state_mode: str = "rewrite"  # per-table bucket layout ("rewrite"|"delta")
+    delta_threshold: int = 8
+    # view="aggregate" only: GROUP BY columns and the aggregate field list —
+    # [{"out": name, "fn": sum|count|min|max|mean, "col": src, "default": v}]
+    # ("col" optional for count = COUNT(*); "default" fills an all-null group)
+    view_group_by: list[str] = field(default_factory=list)
+    view_aggs: list = field(default_factory=list)
 
     @property
     def is_view(self) -> bool:
@@ -75,8 +99,48 @@ class TableSpec:
                 raise ValueError(f"view table {self.name!r} needs a source table")
             if self.wal_dir:
                 raise ValueError(f"view table {self.name!r} cannot also have a WAL")
+            if self.view == "aggregate":
+                if not self.view_group_by:
+                    raise ValueError(
+                        f"aggregate view {self.name!r} needs group_by columns"
+                    )
+                if not self.view_aggs:
+                    raise ValueError(f"aggregate view {self.name!r} needs aggs")
+                outs = []
+                for a in self.view_aggs:
+                    out, fn = a.get("out"), a.get("fn")
+                    if not out or not str(out).isidentifier():
+                        raise ValueError(
+                            f"aggregate view {self.name!r}: bad output name {out!r}"
+                        )
+                    if fn not in AGG_FNS:
+                        raise ValueError(
+                            f"aggregate view {self.name!r}: fn must be one of "
+                            f"{', '.join(AGG_FNS)}, got {fn!r}"
+                        )
+                    if fn != "count" and not a.get("col"):
+                        raise ValueError(
+                            f"aggregate view {self.name!r}: {out!r} ({fn}) needs col"
+                        )
+                    outs.append(out)
+                dupes = {o for o in outs if outs.count(o) > 1}
+                if dupes or set(outs) & set(self.view_group_by):
+                    raise ValueError(
+                        f"aggregate view {self.name!r}: duplicate output names "
+                        f"{sorted(dupes | (set(outs) & set(self.view_group_by)))}"
+                    )
         elif not self.wal_dir:
             raise ValueError(f"base table {self.name!r} needs wal_dir")
+        if self.state_mode not in ("rewrite", "delta"):
+            raise ValueError(
+                f"table {self.name!r}: state_mode must be rewrite|delta, "
+                f"got {self.state_mode!r}"
+            )
+        if self.state_mode == "delta" and self.retain_ticks:
+            raise ValueError(
+                f"table {self.name!r}: retain_ticks (time travel) requires "
+                "state_mode='rewrite'"
+            )
 
 
 def spec_from_config(entry: dict) -> TableSpec:
@@ -100,6 +164,10 @@ def spec_from_config(entry: dict) -> TableSpec:
         shuffle=entry.get("shuffle", "spill"),
         view=entry.get("view"),
         source=entry.get("source"),
+        state_mode=entry.get("state_mode", "rewrite"),
+        delta_threshold=int(entry.get("delta_threshold", 8)),
+        view_group_by=list(entry.get("group_by", [])),
+        view_aggs=[dict(a) for a in entry.get("aggs", [])],
     )
     spec.validate()
     return spec
@@ -192,6 +260,8 @@ class MultiTableLake:
                 tz_offset_minutes=s.tz_offset_minutes,
                 retain_ticks=s.retain_ticks,
                 emit_changelog=s.emit_changelog,
+                state_mode=s.state_mode,
+                delta_threshold=s.delta_threshold,
             )
         return self._engines[name]
 
@@ -202,7 +272,7 @@ class MultiTableLake:
         for s in self.specs:
             if s.is_view:
                 out[s.name] = refresh_view(
-                    s.view, self.table_dir(s.source), self.table_dir(s.name)
+                    s, self.table_dir(s.source), self.table_dir(s.name)
                 )
             else:
                 out[s.name] = self.engine(s.name).tick(max_segments)
@@ -221,7 +291,7 @@ class MultiTableLake:
         s = self.spec(name)
         if not s.is_view:
             raise ValueError(f"{name!r} is not a view")
-        return read_repo_stats(self.table_dir(name))
+        return read_agg_view(_agg_spec_of(s), self.table_dir(name))
 
     def status(self) -> dict:
         from .lineage import LakeLineage
@@ -250,10 +320,33 @@ class MultiTableLake:
 
 
 # ---------------------------------------------------------------------------
-# Derived view: repo_stats (incrementally maintained two-level aggregate)
+# Derived views: incrementally maintained two-level aggregates.
+#
+# ``view="aggregate"`` is the generic, config-driven form (GROUP BY columns +
+# an aggregate field list) — the engine-side equivalent of the reference's
+# semantic-layer materialized tables, which are likewise generated from a
+# per-app metric config (``materialized_fields_config.py:22-66``,
+# ``app_config.py:209-221``). ``view="repo_stats"`` is a preset of the same
+# machinery. Partials are per-bucket, recomputed only for buckets whose
+# manifest tick advanced; the read is a small reduce over partial rows.
 # ---------------------------------------------------------------------------
 
-_PARTIAL_COLS = ["repo", "live_files", "total_bytes", "last_lsn"]
+
+def _agg_spec_of(spec: TableSpec) -> dict:
+    if spec.view == "repo_stats":
+        return REPO_STATS_AGG
+    return {
+        "group_by": list(spec.view_group_by),
+        "aggs": [dict(a) for a in spec.view_aggs],
+    }
+
+
+def _agg_spec_hash(agg_spec: dict) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(agg_spec, sort_keys=True).encode()
+    ).hexdigest()[:16]
 
 
 def _view_manifest(view_dir: str) -> dict:
@@ -271,53 +364,83 @@ def _publish_view_manifest(view_dir: str, obj: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
-def _repo_partial_of_state(man: dict, out_path: str) -> int:
-    """Recompute one bucket's per-repo partial from its committed state
-    (merge-on-read in delta mode). Idempotent; atomic publish."""
+def _partial_plan(agg_spec: dict) -> tuple[list, list[tuple[str, str | None, str]]]:
+    """The Arrow group_by aggregate list (deduped) and, per declared field,
+    the partial columns it lands in: [(partial_col, src_col, arrow_fn)].
+    count(*) uses ([], 'count_all'); mean decomposes into sum + count."""
+    pairs: list[tuple[str | None, str]] = []  # unique (src_col|None, arrow fn)
+    fields: list[tuple[str, str | None, str]] = []
+
+    def want(col: str | None, fn: str) -> None:
+        if (col, fn) not in pairs:
+            pairs.append((col, fn))
+
+    for a in agg_spec["aggs"]:
+        fn, col = a["fn"], a.get("col")
+        if fn == "mean":
+            want(col, "sum")
+            want(col, "count")
+            fields.append((f"__s_{a['out']}", col, "sum"))
+            fields.append((f"__c_{a['out']}", col, "count"))
+        elif fn == "count" and col is None:
+            want(None, "count_all")
+            fields.append((a["out"], None, "count_all"))
+        else:
+            arrow_fn = "count" if fn == "count" else fn
+            want(col, arrow_fn)
+            fields.append((a["out"], col, arrow_fn))
+    arrow_aggs = [([], fn) if col is None else (col, fn) for col, fn in pairs]
+    return arrow_aggs, fields
+
+
+def _agg_partial_of_state(man: dict, agg_spec: dict, out_path: str) -> int:
+    """Recompute one bucket's partial of a derived aggregate view from its
+    committed state (merge-on-read in delta mode). Idempotent; atomic
+    publish. Columns an old bucket predates (schema evolution) read as null
+    and drop out of the aggregates — matching SQL over the full state."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from .apply import read_bucket_state
 
-    t = read_bucket_state(man, columns=["repo", "size_bytes", "lsn", "deleted"])
+    group_by = agg_spec["group_by"]
+    need = {c for a in agg_spec["aggs"] if (c := a.get("col"))}
+    t = read_bucket_state(man, columns=[*group_by, *sorted(need), "deleted"])
     live = t.filter(pc.invert(pc.coalesce(t["deleted"], pa.scalar(False))))
-    g = live.group_by("repo").aggregate(
-        [("lsn", "max"), ("size_bytes", "sum"), ([], "count_all")]
-    )
-    g = g.rename_columns(
-        ["repo"]
-        + [
-            {"lsn_max": "last_lsn", "size_bytes_sum": "total_bytes",
-             "count_all": "live_files"}[n]
-            for n in g.schema.names[1:]
-        ]
-    )
-    # SUM over an all-null column is null; the view contract is 0
-    g = g.set_column(
-        g.schema.get_field_index("total_bytes"),
-        "total_bytes",
-        pc.coalesce(g["total_bytes"], pa.scalar(0, pa.int64())),
-    )
-    g = g.select(_PARTIAL_COLS).sort_by("repo")
+    arrow_aggs, fields = _partial_plan(agg_spec)
+    g = live.group_by(group_by).aggregate(arrow_aggs)
+    cols = {k: g[k] for k in group_by}
+    for partial_col, src_col, fn in fields:
+        cols[partial_col] = g["count_all" if src_col is None else f"{src_col}_{fn}"]
+    out = pa.table(cols).sort_by([(k, "ascending") for k in group_by])
     tmp = out_path + f".{os.getpid()}.tmp"
-    pq.write_table(g, tmp, compression="zstd")
+    pq.write_table(out, tmp, compression="zstd")
     os.replace(tmp, out_path)
-    return g.num_rows
+    return out.num_rows
 
 
-def refresh_view(kind: str, upstream_dir: str, view_dir: str) -> dict | None:
-    if kind == "repo_stats":
-        return refresh_repo_stats(upstream_dir, view_dir)
-    raise ValueError(f"unknown view kind {kind!r}")
+def refresh_view(spec: TableSpec, upstream_dir: str, view_dir: str) -> dict | None:
+    if spec.view not in VIEW_KINDS:
+        raise ValueError(f"unknown view kind {spec.view!r}")
+    return refresh_agg_view(
+        _agg_spec_of(spec), upstream_dir, view_dir, kind=spec.view
+    )
 
 
 def refresh_repo_stats(upstream_dir: str, view_dir: str) -> dict | None:
+    return refresh_agg_view(REPO_STATS_AGG, upstream_dir, view_dir, kind="repo_stats")
+
+
+def refresh_agg_view(
+    agg_spec: dict, upstream_dir: str, view_dir: str, *, kind: str = "aggregate"
+) -> dict | None:
     """Advance the view to the upstream table's committed tick.
 
     Work = one Ray task per bucket whose manifest tick advanced since the
     last refresh (manifest tick is the bucket's last-rewrite tick, so an
-    untouched bucket costs nothing). Crash-safe: partials are pure
+    untouched bucket costs nothing). A changed view DEFINITION (spec hash)
+    forces a full partial recompute. Crash-safe: partials are pure
     functions of committed upstream state and ``_view.json`` publishes
     LAST, so a crashed refresh just redoes its touched buckets.
     """
@@ -330,8 +453,11 @@ def refresh_repo_stats(upstream_dir: str, view_dir: str) -> dict | None:
     last = up.last_tick()
     if last is None:
         return None
+    spec_hash = _agg_spec_hash(agg_spec)
     mf = _view_manifest(view_dir)
     applied = mf.get("upstream_tick", -1)
+    if mf.get("spec_hash") not in (None, spec_hash):
+        applied = -1  # definition changed: every bucket's partial is stale
     if last["tick"] <= applied:
         return None
 
@@ -347,10 +473,11 @@ def refresh_repo_stats(upstream_dir: str, view_dir: str) -> dict | None:
                 os.remove(f)
         touched = [m for m in manifests if m["tick"] > applied]
         if touched:
-            task = ray.remote(num_cpus=1)(_repo_partial_of_state)
+            task = ray.remote(num_cpus=1)(_agg_partial_of_state)
             futs = [
                 task.remote(
-                    dict(m), os.path.join(pdir, f"b={m['bucket']:05d}.parquet")
+                    dict(m), agg_spec,
+                    os.path.join(pdir, f"b={m['bucket']:05d}.parquet"),
                 )
                 for m in touched
             ]
@@ -358,39 +485,70 @@ def refresh_repo_stats(upstream_dir: str, view_dir: str) -> dict | None:
         else:
             rows = 0
         _publish_view_manifest(
-            view_dir, {"upstream_tick": last["tick"], "kind": "repo_stats"}
+            view_dir,
+            {"upstream_tick": last["tick"], "kind": kind, "spec_hash": spec_hash},
         )
     return {"upstream_tick": last["tick"], "buckets": len(touched), "partial_rows": rows}
 
 
 def read_repo_stats(view_dir: str):
+    return read_agg_view(REPO_STATS_AGG, view_dir)
+
+
+def read_agg_view(agg_spec: dict, view_dir: str):
     """The view as a Ray Dataset: final reduce over the per-bucket partials
-    (aggregate-grain rows only — the combiner half was done at refresh)."""
+    (aggregate-grain rows only — the combiner half was done at refresh),
+    then a projection finishing means and null defaults."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
     from ..ops.common import partial_groupby
 
+    group_by = agg_spec["group_by"]
+    aggs = agg_spec["aggs"]
     files = sorted(glob.glob(os.path.join(view_dir, "partials", "b=*.parquet")))
     if not files:
-        import pyarrow as pa
-
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "repo": pa.array([], pa.string()),
-                    "live_files": pa.array([], pa.int64()),
-                    "total_bytes": pa.array([], pa.int64()),
-                    "last_lsn": pa.array([], pa.int64()),
-                }
+        # an unrefreshed view has no partials and no recorded types; surface
+        # the declared shape (string keys, int64 metrics, float64 means)
+        cols = {k: pa.array([], pa.string()) for k in group_by}
+        for a in aggs:
+            cols[a["out"]] = pa.array(
+                [], pa.float64() if a["fn"] == "mean" else pa.int64()
             )
-        )
+        return ray.data.from_arrow(pa.table(cols))
     ds = ray.data.read_parquet(files, partitioning=None)
-    return partial_groupby(
-        ds,
-        ["repo"],
-        {
-            "live_files": ("live_files", "sum"),
-            "total_bytes": ("total_bytes", "sum"),
-            "last_lsn": ("last_lsn", "max"),
-        },
-    )
+    reduce_aggs = {}
+    for a in aggs:
+        fn, out = a["fn"], a["out"]
+        if fn == "mean":
+            reduce_aggs[f"__s_{out}"] = (f"__s_{out}", "sum")
+            reduce_aggs[f"__c_{out}"] = (f"__c_{out}", "sum")
+        elif fn in ("count", "sum"):
+            reduce_aggs[out] = (out, "sum")  # counts re-sum across partials
+        else:
+            reduce_aggs[out] = (out, fn)  # min/max are idempotent
+    red = partial_groupby(ds, group_by, reduce_aggs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in group_by}
+        for a in aggs:
+            if a["fn"] == "mean":
+                c = pc.cast(t[f"__c_{a['out']}"], pa.float64())
+                s = pc.cast(t[f"__s_{a['out']}"], pa.float64())
+                zero = pc.equal(c, 0.0)
+                v = pc.if_else(
+                    zero,
+                    pa.scalar(None, pa.float64()),
+                    pc.divide(s, pc.if_else(zero, pa.scalar(1.0), c)),
+                )
+            else:
+                v = t[a["out"]]
+                if isinstance(v, pa.ChunkedArray):
+                    v = v.combine_chunks()
+            if a.get("default") is not None:
+                v = pc.coalesce(v, pa.scalar(a["default"], v.type))
+            cols[a["out"]] = v
+        return pa.table(cols)
+
+    return red.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,171 @@
+"""Generic config-driven aggregate views (``view="aggregate"``): the
+engine-side analog of the reference's semantic-layer materialized tables
+(``lib/app_config/materialized_fields_config.py:22-66`` — per-app configs of
+(metric name, select expression) fields generating aggregation tables).
+Covers DuckDB-oracle equality for every supported fn (sum/count/min/max/mean
++ null defaults), incremental refresh, spec-change full recompute, config
+round-trip, and a delta-mode upstream."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from etl_ray.engine.tables import (
+    MultiTableLake,
+    TableSpec,
+    refresh_agg_view,
+    spec_from_config,
+)
+
+LANG_AGGS = [
+    {"out": "n_files", "fn": "count"},
+    {"out": "n_commits", "fn": "count", "col": "commit"},
+    {"out": "total_bytes", "col": "size_bytes", "fn": "sum", "default": 0},
+    {"out": "first_lsn", "col": "lsn", "fn": "min"},
+    {"out": "last_lsn", "col": "lsn", "fn": "max"},
+    {"out": "mean_bytes", "col": "size_bytes", "fn": "mean"},
+]
+
+
+def _lang_view_spec(wal, **table_kw) -> list[TableSpec]:
+    return [
+        TableSpec(name="repo_files", wal_dir=wal.wal_dir, num_buckets=8, **table_kw),
+        TableSpec(
+            name="lang_stats",
+            view="aggregate",
+            source="repo_files",
+            view_group_by=["lang"],
+            view_aggs=LANG_AGGS,
+        ),
+    ]
+
+
+def _oracle_lang_stats(wal) -> pd.DataFrame:
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    has_size = any(s.get("has_size_bytes") for s in wal.segments)
+    size_expr = "CAST(size_bytes AS BIGINT)" if has_size else "CAST(NULL AS BIGINT)"
+    sql = f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(COUNT("commit") AS BIGINT) AS n_commits,
+               CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS total_bytes,
+               CAST(MIN(lsn) AS BIGINT) AS first_lsn,
+               CAST(MAX(lsn) AS BIGINT) AS last_lsn,
+               AVG(sz) AS mean_bytes
+        FROM (
+            SELECT repo, path, "commit", lang, lsn, {size_expr} AS sz, op,
+                   row_number() OVER (PARTITION BY repo, path
+                                      ORDER BY lsn DESC) AS rn
+            FROM read_parquet([{files}], union_by_name=true)
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        GROUP BY lang ORDER BY lang
+    """
+    return duckdb.sql(sql).df()
+
+
+def _view_df(lake: MultiTableLake) -> pd.DataFrame:
+    df = (
+        lake.read_view("lang_stats")
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    ints = {c: "int64" for c in
+            ("n_files", "n_commits", "total_bytes", "first_lsn", "last_lsn")}
+    return df.astype(ints)
+
+
+def _assert_matches_oracle(lake: MultiTableLake, wal) -> None:
+    got, exp = _view_df(lake), _oracle_lang_stats(wal)
+    cols = ["lang", "n_files", "n_commits", "total_bytes", "first_lsn", "last_lsn"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    assert np.allclose(got["mean_bytes"], exp["mean_bytes"], equal_nan=True)
+
+
+@pytest.mark.parametrize("state_mode", ["rewrite", "delta"])
+def test_aggregate_view_matches_oracle(ray_session, small_wal, tmp_path, state_mode):
+    lake = MultiTableLake(
+        str(tmp_path / "ml"), _lang_view_spec(small_wal, state_mode=state_mode)
+    )
+    lake.replay_all(segments_per_tick=2)
+    _assert_matches_oracle(lake, small_wal)
+
+
+def test_aggregate_view_incremental_and_spec_change(ray_session, small_wal, tmp_path):
+    lake = MultiTableLake(str(tmp_path / "ml"), _lang_view_spec(small_wal))
+    n_segs = len(small_wal.segments)
+    r1 = lake.tick(max_segments=n_segs - 1)
+    assert r1["lang_stats"]["buckets"] > 0
+    # no upstream advance → refresh is a no-op
+    spec = lake.spec("lang_stats")
+    assert (
+        refresh_agg_view(
+            {"group_by": spec.view_group_by, "aggs": spec.view_aggs},
+            lake.table_dir("repo_files"),
+            lake.table_dir("lang_stats"),
+        )
+        is None
+    )
+    # the last segment touches a subset of buckets → partial refresh
+    r2 = lake.tick()
+    total = len(
+        glob.glob(
+            os.path.join(lake.table_dir("lang_stats"), "partials", "b=*.parquet")
+        )
+    )
+    assert 0 < r2["lang_stats"]["buckets"] <= total
+    _assert_matches_oracle(lake, small_wal)
+    # a changed view DEFINITION forces a full partial recompute
+    changed = {
+        "group_by": ["lang"],
+        "aggs": [{"out": "n_files", "fn": "count"}],
+    }
+    r3 = refresh_agg_view(
+        changed, lake.table_dir("repo_files"), lake.table_dir("lang_stats")
+    )
+    assert r3["buckets"] == total, "spec change must recompute every bucket"
+    # ... and the recomputed partials carry the new (narrower) schema
+    import pyarrow.parquet as pq
+
+    f = glob.glob(
+        os.path.join(lake.table_dir("lang_stats"), "partials", "b=*.parquet")
+    )[0]
+    assert pq.read_schema(f).names == ["lang", "n_files"]
+
+
+def test_aggregate_view_config_roundtrip_and_validation(tmp_path):
+    s = spec_from_config(
+        {
+            "name": "lang_stats",
+            "view": "aggregate",
+            "source": "repo_files",
+            "group_by": ["lang"],
+            "aggs": [{"out": "n", "fn": "count"},
+                     {"out": "mb", "col": "size_bytes", "fn": "mean"}],
+        }
+    )
+    assert s.view == "aggregate" and s.view_group_by == ["lang"]
+    assert s.view_aggs[1]["fn"] == "mean"
+    with pytest.raises(ValueError, match="group_by"):
+        TableSpec(name="v", view="aggregate", source="t",
+                  view_aggs=[{"out": "n", "fn": "count"}]).validate()
+    with pytest.raises(ValueError, match="fn must be"):
+        TableSpec(name="v", view="aggregate", source="t", view_group_by=["g"],
+                  view_aggs=[{"out": "n", "fn": "median", "col": "x"}]).validate()
+    with pytest.raises(ValueError, match="needs col"):
+        TableSpec(name="v", view="aggregate", source="t", view_group_by=["g"],
+                  view_aggs=[{"out": "n", "fn": "sum"}]).validate()
+    with pytest.raises(ValueError, match="duplicate"):
+        TableSpec(name="v", view="aggregate", source="t", view_group_by=["g"],
+                  view_aggs=[{"out": "n", "fn": "count"},
+                             {"out": "n", "col": "x", "fn": "sum"}]).validate()
+    with pytest.raises(ValueError, match="bad output name"):
+        TableSpec(name="v", view="aggregate", source="t", view_group_by=["g"],
+                  view_aggs=[{"out": "no spaces", "fn": "count"}]).validate()

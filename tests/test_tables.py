@@ -306,3 +306,53 @@ def test_view_survives_upstream_rebucket(ray_session, small_wal, tmp_path):
     files = glob.glob(os.path.join(lake.table_dir("repo_stats"), "partials", "b=*.parquet"))
     assert len(files) == 5, "orphan partials must be dropped"
     pd.testing.assert_frame_equal(_view_df(lake, "repo_stats"), before)
+
+
+def test_delta_mode_table_with_view(ray_session, small_wal, tmp_path):
+    """A delta-mode base table in a multi-table lake: oracle-green state,
+    delta files on disk, and the repo_stats view (whose partials read the
+    upstream state) folds base+delta chains correctly."""
+    from etl_ray.engine.export import final_state
+    from etl_ray.oracle import expected_final_state
+
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            # threshold > tick count so the delta chain survives the replay
+            # (threshold compaction itself is covered in test_delta_state.py)
+            TableSpec(
+                name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8,
+                state_mode="delta", delta_threshold=8,
+            ),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    lake.replay_all(segments_per_tick=1)
+    tdir = lake.table_dir("repo_files")
+    assert glob.glob(os.path.join(tdir, "buckets", "b=*", "*.delta.parquet")), (
+        "delta-mode table must append deltas"
+    )
+    got = (
+        final_state(tdir, with_sha=True)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    exp = expected_final_state(small_wal).to_pandas()
+    assert (got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()).all()
+    pd.testing.assert_frame_equal(
+        _view_df(lake, "repo_stats"),
+        _oracle_repo_stats(small_wal).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # spec plumbing: config round-trip + invalid combinations refused
+    s = spec_from_config(
+        {"name": "t", "wal": "/w", "state_mode": "delta", "delta_threshold": 3}
+    )
+    assert s.state_mode == "delta" and s.delta_threshold == 3
+    with pytest.raises(ValueError, match="rewrite|delta"):
+        TableSpec(name="x", wal_dir="/w", state_mode="nope").validate()
+    with pytest.raises(ValueError, match="retain_ticks"):
+        TableSpec(
+            name="x", wal_dir="/w", state_mode="delta", retain_ticks=2
+        ).validate()
