@@ -345,6 +345,20 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--lake", required=True)
     tb.add_argument("--config", required=True, help="JSON: {\"tables\": [...]}")
     tb.add_argument("--segments-per-tick", type=int, default=None)
+    tb.add_argument(
+        "--follow",
+        action="store_true",
+        help="live-tail: poll every table's WAL manifest for new sealed "
+        "segments until all idle for --idle-timeout",
+    )
+    tb.add_argument("--poll-interval", type=float, default=1.0)
+    tb.add_argument("--idle-timeout", type=float, default=10.0)
+    tb.add_argument(
+        "--deadline-minutes",
+        type=float,
+        default=None,
+        help="wall-clock budget; aborts BETWEEN rounds (exit 3, alert event)",
+    )
 
     ts = sub.add_parser("tables-status", help="per-table lineage of a multi-table lake")
     ts.add_argument("--lake", required=True)
@@ -475,10 +489,26 @@ def main(argv: list[str] | None = None) -> int:
                     kw["lateness_bound"] = args.lateness
                 print(json.dumps(compact_tombstones(args.lake, **kw)))
         elif args.cmd == "tables-replay":
+            from etl_ray.engine.replay import DeadlineExceededError
             from etl_ray.engine.tables import MultiTableLake, load_config
 
             lake = MultiTableLake(args.lake, load_config(args.config))
-            rounds = lake.replay_all(segments_per_tick=args.segments_per_tick)
+            deadline_hit = None
+            try:
+                if args.follow:
+                    rounds = lake.follow(
+                        poll_interval_s=args.poll_interval,
+                        idle_timeout_s=args.idle_timeout,
+                        segments_per_tick=args.segments_per_tick,
+                        deadline_minutes=args.deadline_minutes,
+                    )
+                else:
+                    rounds = lake.replay_all(
+                        segments_per_tick=args.segments_per_tick
+                    )
+            except DeadlineExceededError as e:
+                deadline_hit = str(e)
+                rounds = []  # committed per-table ticks are durable
             out = []
             for r in rounds:
                 out.append(
@@ -492,6 +522,9 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             print(json.dumps(out))
+            if deadline_hit:
+                print(json.dumps({"deadline_exceeded": deadline_hit}))
+                return 3
         elif args.cmd == "tables-status":
             from etl_ray.engine.tables import MultiTableLake, load_config
 

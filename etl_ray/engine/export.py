@@ -37,14 +37,16 @@ def add_content_sha(batch: pa.Table) -> pa.Table:
     return batch.append_column("content_sha256", sha256_column(batch["content"]))
 
 
-def _as_of_files(lineage: LakeLineage, as_of_tick: int) -> list[str]:
-    """Per bucket, the newest committed state file with tick <= as_of_tick —
-    the bucket's exact content as of that commit point, provided the lake was
-    replayed with ``retain_ticks`` covering it (see ``LakeLineage.gc``).
-    Buckets whose first write postdates ``as_of_tick`` are (correctly)
-    absent. A ``rebucket`` rewrites the whole key space under new bucket ids
-    and resets time-travel history — as-of reads are valid only back to the
-    latest rebucket."""
+def _as_of_manifests(lineage: LakeLineage, as_of_tick: int) -> list[dict]:
+    """Per bucket, a pseudo-manifest describing its exact content as of
+    ``as_of_tick``: the newest committed BASE state with tick <= as_of_tick
+    plus, in a delta-mode lake, the delta files in (base_tick, as_of_tick]
+    (folded by the same merge-on-read LWW as live reads). Requires the lake
+    to have been replayed with ``retain_ticks`` covering the point (see
+    ``LakeLineage.gc``). Buckets whose first write postdates ``as_of_tick``
+    are (correctly) absent. A ``rebucket`` rewrites the whole key space
+    under new bucket ids and resets time-travel history — as-of reads are
+    valid only back to the latest rebucket."""
     import glob
     import re
 
@@ -64,13 +66,25 @@ def _as_of_files(lineage: LakeLineage, as_of_tick: int) -> list[str]:
         )
     out = []
     for bdir in sorted(glob.glob(os.path.join(lineage.buckets_dir, "b=*"))):
-        cands = []
+        bases, deltas = [], []
         for f in glob.glob(os.path.join(bdir, "state-t*.parquet")):
-            m = re.search(r"state-t(\d+)\.parquet$", f)
-            if m and int(m.group(1)) <= as_of_tick:
-                cands.append((int(m.group(1)), f))
-        if cands:
-            out.append(max(cands)[1])
+            if f.endswith(".fold.parquet"):
+                continue
+            if f.endswith(".delta.parquet"):
+                m = re.search(r"state-t(\d+)\.delta\.parquet$", f)
+                if m:
+                    deltas.append((int(m.group(1)), f))
+            else:
+                m = re.search(r"state-t(\d+)\.parquet$", f)
+                if m and int(m.group(1)) <= as_of_tick:
+                    bases.append((int(m.group(1)), f))
+        if not bases:
+            continue
+        base_tick, base = max(bases)
+        chain = [
+            f for t, f in sorted(deltas) if base_tick < t <= as_of_tick
+        ]
+        out.append({"data_file": base, "delta_files": chain})
     return out
 
 
@@ -88,11 +102,9 @@ def final_state(
     lineage = LakeLineage(lake_dir)
     manifests = lineage.all_bucket_manifests()
     if as_of_tick is not None:
-        files = _as_of_files(lineage, as_of_tick)
-        delta_mode = False
-    else:
-        files = [m["data_file"] for m in manifests]
-        delta_mode = any(m.get("delta_files") for m in manifests)
+        manifests = _as_of_manifests(lineage, as_of_tick)
+    files = [m["data_file"] for m in manifests]
+    delta_mode = any(m.get("delta_files") for m in manifests)
     if not files:
         raise FileNotFoundError(f"no committed bucket manifests under {lake_dir}")
 

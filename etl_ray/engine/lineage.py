@@ -202,8 +202,6 @@ class LakeLineage:
             all_files = sorted(glob.glob(os.path.join(bdir, "state-t*.parquet")))
             # .fold.parquet LSN-tail sidecars ride with their base state file
             folds = [f for f in all_files if f.endswith(".fold.parquet")]
-            # tick deltas live and die by manifest reference alone (no
-            # time-travel window: delta mode rejects retain_ticks)
             deltas = [f for f in all_files if f.endswith(".delta.parquet")]
             files = [
                 f
@@ -211,10 +209,7 @@ class LakeLineage:
                 if not f.endswith((".fold.parquet", ".delta.parquet"))
             ]
             keep = set(f for f in files if f in live)
-            for f in deltas:
-                if f not in live:
-                    os.remove(f)
-                    removed += 1
+            boundary_tick = None
             if cutoff is not None:
                 below = []
                 for f in files:
@@ -224,7 +219,25 @@ class LakeLineage:
                     else:
                         below.append((t, f))
                 if below:
-                    keep.add(max(below)[1])  # boundary state
+                    # boundary state: the newest base OLDER than the window
+                    # IS the bucket's content for any as-of point inside it
+                    # the bucket wasn't rewritten since
+                    boundary_tick, bf = max(below)
+                    keep.add(bf)
+            # tick deltas (base+delta layout): live by manifest reference,
+            # plus — inside a time-travel window — every delta at or after
+            # the boundary base, so an as-of chain (newest base <= T, deltas
+            # (base, T]) stays reconstructible for every T in the window
+            for f in deltas:
+                t = int(re.search(r"state-t(\d+)\.delta\.parquet$", f).group(1))
+                retained = cutoff is not None and t >= (
+                    boundary_tick if boundary_tick is not None else cutoff
+                )
+                if f in live or retained:
+                    keep.add(f)
+                else:
+                    os.remove(f)
+                    removed += 1
             for f in files:
                 if f not in keep:
                     os.remove(f)

@@ -93,10 +93,10 @@ class ReplayEngine:
     ):
         if state_mode not in ("rewrite", "delta"):
             raise ValueError(f"state_mode must be rewrite|delta, got {state_mode!r}")
-        if state_mode == "delta" and retain_ticks:
-            # time travel picks per-bucket files by tick NAME; a delta chain
-            # has no per-tick full image to pin. Explicitly unsupported.
-            raise ValueError("retain_ticks (time travel) requires state_mode='rewrite'")
+        # retain_ticks works in BOTH modes: rewrite keeps whole per-tick
+        # state images; delta reconstructs an as-of point by folding the
+        # newest base <= T plus the deltas in (base, T] (GC keeps
+        # dereferenced chain segments inside the window — lineage.gc)
         self.state_mode = state_mode
         self.delta_threshold = int(delta_threshold)
         # Versioned broadcast dimension (the reference refreshes its

@@ -136,11 +136,6 @@ class TableSpec:
                 f"table {self.name!r}: state_mode must be rewrite|delta, "
                 f"got {self.state_mode!r}"
             )
-        if self.state_mode == "delta" and self.retain_ticks:
-            raise ValueError(
-                f"table {self.name!r}: retain_ticks (time travel) requires "
-                "state_mode='rewrite'"
-            )
 
 
 def spec_from_config(entry: dict) -> TableSpec:
@@ -285,6 +280,81 @@ class MultiTableLake:
             if all(v is None for v in r.values()):
                 break
             rounds.append(r)
+        return rounds
+
+    def follow(
+        self,
+        *,
+        poll_interval_s: float = 1.0,
+        idle_timeout_s: float = 10.0,
+        max_rounds: int | None = None,
+        segments_per_tick: int | None = None,
+        deadline_minutes: float | None = None,
+        on_event=(),
+    ) -> list[dict]:
+        """Live-tail the whole lake: every poll reloads each base table's
+        WAL manifest and ticks all tables (views refresh after their
+        sources, in spec order — the multi-table form of the reference's
+        per-app sensor-poll DAG schedule). Ends when NO table progresses
+        within ``idle_timeout_s``, after ``max_rounds`` productive rounds,
+        or — between rounds, with every table at a committed tick — when
+        the ``deadline_minutes`` wall-clock budget runs out (alert event in
+        the lake-level ops trail, same contract as the single-table run)."""
+        import time as _time
+
+        from .lock import WriterLockError
+        from .replay import DeadlineExceededError
+        from ..wal import WalInfo
+
+        deadline_s = (
+            deadline_minutes * 60.0 if deadline_minutes is not None else None
+        )
+        rounds: list[dict] = []
+        started = _time.monotonic()
+        idle_since = started
+        while True:
+            for s in self.specs:
+                if not s.is_view:
+                    eng = self.engine(s.name)
+                    eng.wal = WalInfo.load(eng.wal.wal_dir)  # new segments?
+            try:
+                r = self.tick(segments_per_tick)
+            except WriterLockError:
+                # a maintenance op holds one table — interleaving, not
+                # failure; the idle clock still bounds a stuck lock
+                if _time.monotonic() - idle_since >= idle_timeout_s:
+                    break
+                _time.sleep(poll_interval_s)
+                continue
+            if any(v is not None for v in r.values()):
+                rounds.append(r)
+                idle_since = _time.monotonic()
+                if max_rounds is not None and len(rounds) >= max_rounds:
+                    break
+                if deadline_s is not None:
+                    elapsed = _time.monotonic() - started
+                    if elapsed > deadline_s:
+                        from .alerts import emit_event
+
+                        emit_event(
+                            self.lake_dir,
+                            "deadline_exceeded",
+                            {
+                                "budget_s": deadline_s,
+                                "elapsed_s": round(elapsed, 1),
+                                "rounds": len(rounds),
+                            },
+                            callbacks=tuple(on_event),
+                        )
+                        raise DeadlineExceededError(
+                            f"lake budget {deadline_s:.0f}s exceeded after "
+                            f"{elapsed:.1f}s ({len(rounds)} rounds); every "
+                            "table is at a committed tick — rerun to resume"
+                        )
+            else:
+                if _time.monotonic() - idle_since >= idle_timeout_s:
+                    break
+                _time.sleep(poll_interval_s)
         return rounds
 
     def read_view(self, name: str):

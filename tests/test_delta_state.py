@@ -228,9 +228,67 @@ def test_delta_mode_maintenance_folds_chain(ray_session, small_wal, tmp_path):
     assert _delta_files(lake) == [], "absorbed deltas GC'd"
 
 
-def test_delta_rejects_time_travel(small_wal, tmp_path):
-    with pytest.raises(ValueError, match="retain_ticks"):
-        ReplayEngine(
-            small_wal.wal_dir, str(tmp_path / "x"),
-            state_mode="delta", retain_ticks=4,
-        )
+def test_delta_time_travel_exact_per_tick(ray_session, small_wal, tmp_path):
+    """Time travel over base+delta chains: as-of T folds the newest base
+    <= T plus the deltas in (base, T]. A small threshold forces chain
+    compactions mid-replay, so exactness here also proves gc retains
+    dereferenced chain segments inside the window."""
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        state_mode="delta", delta_threshold=2, retain_ticks=10,
+    )
+    recorded = {}
+    while True:
+        r = eng.tick(max_segments=1)
+        if r is None:
+            break
+        recorded[r.tick] = _df(lake)
+    assert len(recorded) >= 3
+    assert _delta_files(lake), "chains must exist for this to prove anything"
+    for t, exp in recorded.items():
+        got = _df(lake, as_of_tick=t)
+        pd.testing.assert_frame_equal(got, exp, obj=f"as_of_tick={t}")
+
+
+def test_delta_retention_window_enforced(ray_session, small_wal, tmp_path):
+    """retain_ticks=1 in delta mode: inside the window exact, outside
+    refused, and gc still drops chain segments older than the boundary."""
+    from etl_ray.engine.export import final_state as fs
+
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2,
+        state_mode="delta", delta_threshold=2, retain_ticks=1,
+    )
+    live = {}
+    while True:
+        r = eng.tick(max_segments=1)
+        if r is None:
+            break
+        live[r.tick] = _df(lake)
+    last = max(live)
+    pd.testing.assert_frame_equal(_df(lake, as_of_tick=last - 1), live[last - 1])
+    with pytest.raises(ValueError, match="retained history"):
+        fs(lake, as_of_tick=0)
+    # the retained file set is bounded by the window, not by replay length:
+    # per bucket at most (window + boundary + current) bases plus the delta
+    # chains attached to them — with threshold 2 that is <= 3 files per base
+    for bdir in glob.glob(os.path.join(lake, "buckets", "b=*")):
+        states = [
+            f
+            for f in glob.glob(os.path.join(bdir, "state-t*.parquet"))
+            if not f.endswith(".fold.parquet")
+        ]
+        assert len(states) <= 9, bdir
+
+
+def _df(lake, **kw):
+    from etl_ray.engine.export import final_state as fs
+
+    return (
+        fs(lake, **kw)
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )

@@ -352,7 +352,119 @@ def test_delta_mode_table_with_view(ray_session, small_wal, tmp_path):
     assert s.state_mode == "delta" and s.delta_threshold == 3
     with pytest.raises(ValueError, match="rewrite|delta"):
         TableSpec(name="x", wal_dir="/w", state_mode="nope").validate()
-    with pytest.raises(ValueError, match="retain_ticks"):
-        TableSpec(
-            name="x", wal_dir="/w", state_mode="delta", retain_ticks=2
-        ).validate()
+    # time travel + delta compose (as-of reads fold the chain prefix)
+    TableSpec(name="x", wal_dir="/w", state_mode="delta", retain_ticks=2).validate()
+
+
+def _growing_wal_view(src_wal, view_dir: str):
+    """A WAL dir whose manifest can be advanced segment by segment; segment
+    files are shared with the source WAL (absolute paths)."""
+    from etl_ray.wal import WalInfo
+
+    os.makedirs(view_dir, exist_ok=True)
+
+    def through(k: int) -> None:
+        WalInfo(
+            wal_dir=view_dir,
+            n_events=sum(s["rows"] for s in src_wal.segments[:k]),
+            n_base_events=src_wal.n_base_events,
+            evolve_lsn=src_wal.evolve_lsn,
+            segments=src_wal.segments[:k],
+            params=None,
+        ).save()
+
+    return through
+
+
+def test_multi_table_follow_consumes_both_wals(
+    ray_session, small_wal, wal_b, tmp_path
+):
+    """Live tail across N tables: one follow() loop drains two growing WAL
+    manifests and keeps the derived view current with its source."""
+    import threading
+    import time
+
+    a_through = _growing_wal_view(small_wal, str(tmp_path / "wa"))
+    b_through = _growing_wal_view(wal_b, str(tmp_path / "wb"))
+    a_total, b_total = len(small_wal.segments), len(wal_b.segments)
+    a_through(2)
+    b_through(1)
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=str(tmp_path / "wa"), num_buckets=8),
+            TableSpec(name="sessions", wal_dir=str(tmp_path / "wb"), num_buckets=4),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    rounds: list = []
+
+    def run():
+        rounds.extend(lake.follow(poll_interval_s=0.2, idle_timeout_s=6.0))
+
+    t = threading.Thread(target=run)
+    t.start()
+    for k in range(2, max(a_total, b_total) + 1):  # seal one more per beat
+        time.sleep(0.8)
+        a_through(min(k + 1, a_total))
+        b_through(min(k, b_total))
+    t.join(timeout=180)
+    assert not t.is_alive()
+    assert len(rounds) >= 2, "growth must arrive across multiple polls"
+    segs = {
+        n: sum(
+            r[n].segments for r in rounds if r[n] is not None and not isinstance(r[n], dict)
+        )
+        for n in ("repo_files", "sessions")
+    }
+    assert segs == {"repo_files": a_total, "sessions": b_total}
+    from etl_ray.engine.export import final_state
+    from etl_ray.oracle import expected_final_state
+
+    for name, wal in (("repo_files", small_wal), ("sessions", wal_b)):
+        got = (
+            final_state(lake.table_dir(name), with_sha=True)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        exp = expected_final_state(wal).to_pandas()
+        assert (
+            got["content_sha256"].to_numpy() == exp["content_sha256"].to_numpy()
+        ).all(), name
+    # the view followed its source to the last committed upstream tick
+    pd.testing.assert_frame_equal(
+        _view_df(lake, "repo_stats"),
+        _oracle_repo_stats(small_wal).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_multi_table_follow_deadline_aborts_between_rounds(
+    ray_session, small_wal, tmp_path
+):
+    """A ~0 budget stops after the FIRST productive round: every table stays
+    at its committed tick, the abort lands in the lake-level ops trail, and
+    a rerun resumes from the watermark."""
+    from etl_ray.engine.replay import DeadlineExceededError
+
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    with pytest.raises(DeadlineExceededError, match="committed tick"):
+        lake.follow(segments_per_tick=1, deadline_minutes=1e-9, idle_timeout_s=2.0)
+    st = lake.status()
+    assert st["repo_files"]["tick"] == 0, "exactly one committed round"
+    events = [
+        json.loads(ln)
+        for ln in open(os.path.join(str(tmp_path / "ml"), "_events.jsonl"))
+    ]
+    assert any(e["kind"] == "deadline_exceeded" for e in events)
+    # rerun resumes: remaining segments drain, state converges
+    lake2 = MultiTableLake(str(tmp_path / "ml"), lake.specs)
+    lake2.replay_all(segments_per_tick=None)
+    assert lake2.status()["repo_files"]["tick"] >= 1

@@ -97,7 +97,7 @@ def test_no_retention_keeps_single_state(ray_session, small_wal, tmp_path):
 
 def test_erasure_purges_history(ray_session, small_wal, tmp_path):
     """GDPR: after erase_keys, no as-of read can resurrect the subject."""
-    from etl_ray.engine.export import _as_of_files
+    from etl_ray.engine.export import _as_of_manifests
     from etl_ray.engine.lineage import LakeLineage
     from etl_ray.engine.maintenance import erase_keys
 
@@ -117,7 +117,9 @@ def test_erasure_purges_history(ray_session, small_wal, tmp_path):
     lineage = LakeLineage(lake)
     last = lineage.last_tick()
     current = {m["data_file"] for m in lineage.all_bucket_manifests()}
-    assert set(_as_of_files(lineage, last["tick"])) <= current
+    assert {
+        m["data_file"] for m in _as_of_manifests(lineage, last["tick"])
+    } <= current
     cur = _df(lake)
     assert not ((cur["repo"] == victim[0]) & (cur["path"] == victim[1])).any()
 
