@@ -364,6 +364,33 @@ def main(argv: list[str] | None = None) -> int:
     ts.add_argument("--lake", required=True)
     ts.add_argument("--config", required=True)
 
+    te = sub.add_parser(
+        "tables-erase",
+        help="GDPR erasure across a multi-table lake: every base table "
+        "(or --table subset), then refresh the touched sources' views",
+    )
+    te.add_argument("--lake", required=True)
+    te.add_argument("--config", required=True)
+    te.add_argument(
+        "--key", action="append", required=True, help="repo:path (repeatable)"
+    )
+    te.add_argument("--table", action="append", default=None)
+    te.add_argument(
+        "--map-field", action="append", default=None,
+        help="also scrub this field through the pseudonym map",
+    )
+
+    tx = sub.add_parser(
+        "tables-export",
+        help="export one table of a multi-table lake (base state or "
+        "derived view) as parquet",
+    )
+    tx.add_argument("--lake", required=True)
+    tx.add_argument("--config", required=True)
+    tx.add_argument("--table", required=True)
+    tx.add_argument("--out", required=True)
+    tx.add_argument("--with-sha", action="store_true")
+
     cl = sub.add_parser(
         "changelog", help="export the change data feed (committed ticks only)"
     )
@@ -530,6 +557,47 @@ def main(argv: list[str] | None = None) -> int:
 
             lake = MultiTableLake(args.lake, load_config(args.config))
             print(json.dumps(lake.status()))
+        elif args.cmd == "tables-erase":
+            from etl_ray.engine.tables import MultiTableLake, load_config
+
+            keys = []
+            for kv in args.key:
+                repo, _, path = kv.partition(":")
+                if not path:
+                    p.error(f"--key must be repo:path, got {kv!r}")
+                keys.append((repo, path))
+            lake = MultiTableLake(args.lake, load_config(args.config))
+            print(
+                json.dumps(
+                    lake.erase(
+                        keys, tables=args.table, erase_map_fields=args.map_field
+                    )
+                )
+            )
+        elif args.cmd == "tables-export":
+            from etl_ray.engine.tables import MultiTableLake, load_config
+
+            lake = MultiTableLake(args.lake, load_config(args.config))
+            s = lake.spec(args.table)
+            if s.is_view:
+                ds = lake.read_view(args.table)
+                if args.with_sha:
+                    p.error("--with-sha applies to base tables only")
+            else:
+                from etl_ray.engine.export import final_state
+
+                ds = final_state(lake.table_dir(args.table), with_sha=args.with_sha)
+            if os.path.exists(args.out) and os.listdir(args.out):
+                p.error(f"--out {args.out} exists and is not empty")
+            ds.write_parquet(args.out)
+            import pyarrow.parquet as pq_
+
+            rows = sum(
+                pq_.ParquetFile(os.path.join(args.out, f)).metadata.num_rows
+                for f in os.listdir(args.out)
+                if f.endswith(".parquet")
+            )
+            print(json.dumps({"table": args.table, "rows": rows, "out": args.out}))
         elif args.cmd == "status":
             from etl_ray.engine.alerts import read_events
             from etl_ray.engine.lineage import LakeLineage

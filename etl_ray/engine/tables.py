@@ -363,6 +363,43 @@ class MultiTableLake:
             raise ValueError(f"{name!r} is not a view")
         return read_agg_view(_agg_spec_of(s), self.table_dir(name))
 
+    def erase(
+        self,
+        keys: list[tuple[str, str]],
+        *,
+        tables: list[str] | None = None,
+        erase_map_fields: list[str] | None = None,
+    ) -> dict:
+        """GDPR erasure across the lake: erase ``keys`` from every base
+        table (or the named subset), then refresh the views of the touched
+        sources so no derived aggregate retains the subject. Per-table
+        locking and history purge are the single-table ``erase_keys``
+        semantics; a view of an untouched source is left alone."""
+        from .maintenance import erase_keys
+
+        targets = [
+            s.name
+            for s in self.specs
+            if not s.is_view and (tables is None or s.name in tables)
+        ]
+        if tables is not None:
+            unknown = set(tables) - set(targets)
+            if unknown:
+                raise ValueError(
+                    f"not base tables of this lake: {sorted(unknown)}"
+                )
+        out = {}
+        for name in targets:
+            out[name] = erase_keys(
+                self.table_dir(name), keys, erase_map_fields=erase_map_fields
+            )
+        for s in self.specs:
+            if s.is_view and s.source in targets:
+                out[s.name] = refresh_view(
+                    s, self.table_dir(s.source), self.table_dir(s.name)
+                )
+        return out
+
     def status(self) -> dict:
         from .lineage import LakeLineage
 

@@ -468,3 +468,50 @@ def test_multi_table_follow_deadline_aborts_between_rounds(
     lake2 = MultiTableLake(str(tmp_path / "ml"), lake.specs)
     lake2.replay_all(segments_per_tick=None)
     assert lake2.status()["repo_files"]["tick"] >= 1
+
+
+def test_multi_table_erase_scrubs_state_and_views(
+    ray_session, small_wal, wal_b, tmp_path
+):
+    """Lake-wide GDPR erasure: the subject vanishes from the targeted base
+    table AND its derived view; an untargeted table keeps its tick."""
+    from etl_ray.engine.export import final_state
+
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="sessions", wal_dir=wal_b.wal_dir, num_buckets=4),
+            TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        ],
+    )
+    lake.replay_all()
+    df = (
+        final_state(lake.table_dir("repo_files"))
+        .to_pandas()
+        .sort_values(["repo", "path"])
+    )
+    victim_repo = df.iloc[0]["repo"]
+    victims = [
+        (r.repo, r.path) for r in df[df["repo"] == victim_repo].itertuples()
+    ]
+    view_before = _view_df(lake, "repo_stats")
+    assert victim_repo in set(view_before["repo"])
+    sessions_tick = LakeLineage(lake.table_dir("sessions")).last_tick()["tick"]
+
+    res = lake.erase(victims, tables=["repo_files"])
+    assert "repo_files" in res and "repo_stats" in res and "sessions" not in res
+
+    cur = final_state(lake.table_dir("repo_files")).to_pandas()
+    assert not (cur["repo"] == victim_repo).any()
+    view_after = _view_df(lake, "repo_stats")
+    assert victim_repo not in set(view_after["repo"]), "view retained the subject"
+    pd.testing.assert_frame_equal(
+        view_after,
+        view_before[view_before["repo"] != victim_repo].reset_index(drop=True),
+    )
+    assert (
+        LakeLineage(lake.table_dir("sessions")).last_tick()["tick"] == sessions_tick
+    ), "untargeted table must be untouched"
+    with pytest.raises(ValueError, match="not base tables"):
+        lake.erase(victims, tables=["repo_stats"])
