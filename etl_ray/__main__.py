@@ -531,7 +531,8 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 else:
                     rounds = lake.replay_all(
-                        segments_per_tick=args.segments_per_tick
+                        segments_per_tick=args.segments_per_tick,
+                        deadline_minutes=args.deadline_minutes,
                     )
             except DeadlineExceededError as e:
                 deadline_hit = str(e)

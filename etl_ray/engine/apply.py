@@ -210,6 +210,47 @@ def apply_folds(
     return merged, tail
 
 
+def plan_state_write(
+    lineage, bucket: int, tick: int, man: dict | None,
+    state_mode: str, delta_threshold: int,
+) -> tuple[bool, str, str, list[str]]:
+    """Decide base-vs-delta for one bucket write, crash-redo aware.
+
+    Returns ``(write_delta, out_path, data_file, delta_files)``. A redo of
+    an ALREADY-PUBLISHED bucket (manifest tick == this tick — the crash
+    landed between this bucket's manifest publish and the tick manifest)
+    reproduces its prior outcome in place instead of growing the chain:
+    re-appending would fold the same delta twice on every read and count
+    double against the threshold."""
+    prev_deltas = list((man or {}).get("delta_files") or [])
+    delta_path = lineage.bucket_delta_path(bucket, tick)
+    if man is not None and man.get("tick") == tick:
+        if delta_path in prev_deltas:
+            return True, delta_path, man["data_file"], prev_deltas
+        base = lineage.bucket_state_path(bucket, tick)
+        return False, base, base, []
+    if (
+        state_mode == "delta"
+        and man is not None
+        and len(prev_deltas) < delta_threshold
+    ):
+        return True, delta_path, man["data_file"], prev_deltas + [delta_path]
+    base = lineage.bucket_state_path(bucket, tick)
+    return False, base, base, []
+
+
+def touched_key_rows(merged: pa.Table, deltas: pa.Table) -> pa.Table:
+    """This tick's winner rows for TOUCHED keys only (fold columns riding
+    along) — the point of a delta write: O(touched), not O(bucket). A late
+    already-applied key re-emits its (identical) current winner, which
+    merge-on-read resolves by tie-break."""
+    dk = pc.unique(
+        pc.binary_join_element_wise(deltas["repo"], deltas["path"], "\x1f")
+    )
+    mk = pc.binary_join_element_wise(merged["repo"], merged["path"], "\x1f")
+    return merged.filter(pc.is_in(mk, value_set=dk))
+
+
 def deltas_to_state_shape(deltas: pa.Table) -> pa.Table:
     """CDC envelope → state-row shape: op → deleted flag, drop op."""
     deleted = pc.equal(deltas["op"], "delete")
@@ -335,16 +376,10 @@ class MergeApplier:
         # rows; readers fold base+deltas with the same LWW kernel. Past the
         # threshold (or in rewrite mode / first write) the fold lands as a
         # fresh base and the delta chain resets.
-        prev_deltas = list((man or {}).get("delta_files") or [])
-        write_delta = (
-            self.state_mode == "delta"
-            and man is not None
-            and len(prev_deltas) < self.delta_threshold
+        write_delta, out_path, data_file, delta_files = plan_state_write(
+            self.lineage, bucket, self.tick, man,
+            self.state_mode, self.delta_threshold,
         )
-        if write_delta:
-            out_path = self.lineage.bucket_delta_path(bucket, self.tick)
-        else:
-            out_path = self.lineage.bucket_state_path(bucket, self.tick)
 
         fold_file = None
         fold_hi = (man or {}).get("fold_through_lsn") or 0
@@ -366,22 +401,7 @@ class MergeApplier:
             pq.write_table(tail, ftmp, compression="snappy")
             os.replace(ftmp, fold_file)
 
-        if write_delta:
-            # this tick's winner rows for TOUCHED keys only (with fold
-            # columns riding along) — the whole point: O(touched), not
-            # O(bucket). A late already-applied key re-emits its (identical)
-            # current winner, which merge-on-read resolves by tie-break.
-            dk = pc.unique(
-                pc.binary_join_element_wise(deltas["repo"], deltas["path"], "\x1f")
-            )
-            mk = pc.binary_join_element_wise(merged["repo"], merged["path"], "\x1f")
-            out_tab = merged.filter(pc.is_in(mk, value_set=dk))
-            data_file = man["data_file"]
-            delta_files = prev_deltas + [out_path]
-        else:
-            out_tab = merged
-            data_file = out_path
-            delta_files = []
+        out_tab = touched_key_rows(merged, deltas) if write_delta else merged
 
         tmp = out_path + f".{os.getpid()}.tmp"
         pq.write_table(out_tab, tmp, compression="zstd")
@@ -507,16 +527,10 @@ class WarmApplierActor:
                 self.lineage.lake_dir, tick, bucket, changelog_delta(state, merged)
             )
 
-        prev_deltas = list((man or {}).get("delta_files") or [])
-        write_delta = (
-            self.state_mode == "delta"
-            and man is not None
-            and len(prev_deltas) < self.delta_threshold
+        write_delta, out_path, data_file, delta_files = plan_state_write(
+            self.lineage, bucket, tick, man,
+            self.state_mode, self.delta_threshold,
         )
-        if write_delta:
-            out_path = self.lineage.bucket_delta_path(bucket, tick)
-        else:
-            out_path = self.lineage.bucket_state_path(bucket, tick)
 
         fold_file = None
         fold_hi = (man or {}).get("fold_through_lsn") or 0
@@ -536,18 +550,7 @@ class WarmApplierActor:
             pq.write_table(tail, ftmp, compression="snappy")
             os.replace(ftmp, fold_file)
 
-        if write_delta:
-            dk = pc.unique(
-                pc.binary_join_element_wise(deltas["repo"], deltas["path"], "\x1f")
-            )
-            mk = pc.binary_join_element_wise(merged["repo"], merged["path"], "\x1f")
-            out_tab = merged.filter(pc.is_in(mk, value_set=dk))
-            data_file = man["data_file"]
-            delta_files = prev_deltas + [out_path]
-        else:
-            out_tab = merged
-            data_file = out_path
-            delta_files = []
+        out_tab = touched_key_rows(merged, deltas) if write_delta else merged
 
         tmp = out_path + f".{os.getpid()}.tmp"
         pq.write_table(out_tab, tmp, compression="zstd")

@@ -45,7 +45,12 @@ REPO_STATS_AGG = {
     "group_by": ["repo"],
     "aggs": [
         {"out": "live_files", "fn": "count"},
-        {"out": "total_bytes", "col": "size_bytes", "fn": "sum", "default": 0},
+        # size_bytes arrives via additive schema evolution — optional lets
+        # the view refresh before the column exists upstream
+        {
+            "out": "total_bytes", "col": "size_bytes", "fn": "sum",
+            "default": 0, "optional": True,
+        },
         {"out": "last_lsn", "col": "lsn", "fn": "max"},
     ],
 }
@@ -87,7 +92,11 @@ class TableSpec:
         return self.view is not None
 
     def validate(self) -> None:
-        if not self.name or "/" in self.name or self.name.startswith("_"):
+        # table name becomes a directory under lake/tables/ — it must not
+        # escape it ('..', '.', separators) or collide with lake metadata
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}", self.name or ""):
             raise ValueError(f"bad table name {self.name!r}")
         if self.is_view:
             if self.view not in VIEW_KINDS:
@@ -138,9 +147,30 @@ class TableSpec:
             )
 
 
+_CONFIG_KEYS = frozenset(
+    {
+        "name", "wal", "buckets", "concurrency", "tz_offset_minutes",
+        "aggregate", "folds", "pseudonym_fields", "changelog", "retain_ticks",
+        "shuffle", "view", "source", "state_mode", "delta_threshold",
+        "group_by", "aggs",
+    }
+)
+
+
 def spec_from_config(entry: dict) -> TableSpec:
     """One config-file entry → TableSpec. Accepted keys mirror the replay
-    CLI flags; ``"folds": true`` resolves to the default fold set."""
+    CLI flags; ``"folds": true`` resolves to the default fold set. Unknown
+    keys are rejected — a typo'd key must not silently build a different
+    lake than configured."""
+    unknown = set(entry) - _CONFIG_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown table-config keys {sorted(unknown)} "
+            f"(accepted: {', '.join(sorted(_CONFIG_KEYS))})"
+        )
+    conc = entry.get("concurrency")
+    if isinstance(conc, list):
+        conc = tuple(conc)
     folds = entry.get("folds", [])
     if folds is True or folds == "default":
         from .folds import DEFAULT_FOLDS
@@ -150,6 +180,7 @@ def spec_from_config(entry: dict) -> TableSpec:
         name=entry["name"],
         wal_dir=entry.get("wal"),
         num_buckets=int(entry.get("buckets", 32)),
+        concurrency=conc,
         tz_offset_minutes=int(entry.get("tz_offset_minutes", 0)),
         aggregate=bool(entry.get("aggregate", True)),
         folds=folds,
@@ -260,27 +291,88 @@ class MultiTableLake:
             )
         return self._engines[name]
 
-    def tick(self, max_segments: int | None = None) -> dict:
+    def tick(
+        self, max_segments: int | None = None, *, tolerate_locked: bool = False
+    ) -> dict:
         """One pass over all tables: base tables tick, views refresh.
-        Returns {name: TickResult | refresh-dict | None}."""
+        Returns {name: TickResult | refresh-dict | None}. With
+        ``tolerate_locked`` (the live-tail mode), a table whose writer lock
+        is held by a maintenance op yields None for THIS round while the
+        other tables still commit — their results must not be lost to one
+        table's lock."""
+        from .lock import WriterLockError
+
         out = {}
         for s in self.specs:
-            if s.is_view:
-                out[s.name] = refresh_view(
-                    s, self.table_dir(s.source), self.table_dir(s.name)
-                )
-            else:
-                out[s.name] = self.engine(s.name).tick(max_segments)
+            try:
+                if s.is_view:
+                    out[s.name] = refresh_view(
+                        s, self.table_dir(s.source), self.table_dir(s.name)
+                    )
+                else:
+                    out[s.name] = self.engine(s.name).tick(max_segments)
+            except WriterLockError:
+                if not tolerate_locked:
+                    raise
+                out[s.name] = None
         return out
 
-    def replay_all(self, *, segments_per_tick: int | None = None) -> list[dict]:
+    def replay_all(
+        self,
+        *,
+        segments_per_tick: int | None = None,
+        deadline_minutes: float | None = None,
+        on_event=(),
+    ) -> list[dict]:
+        """Drain every table's WAL. ``deadline_minutes`` aborts BETWEEN
+        rounds — every table at a committed tick — with the same alert/
+        exception contract as the single-table run."""
+        import time as _time
+
+        deadline_s = (
+            deadline_minutes * 60.0 if deadline_minutes is not None else None
+        )
+        started = _time.monotonic()
         rounds = []
         while True:
             r = self.tick(segments_per_tick)
             if all(v is None for v in r.values()):
                 break
             rounds.append(r)
+            if deadline_s is not None:
+                self._check_deadline(started, deadline_s, len(rounds), on_event)
         return rounds
+
+    def _check_deadline(
+        self, started: float, deadline_s: float, rounds_done: int, on_event=()
+    ) -> None:
+        """Raise between rounds once the lake run's budget is spent (same
+        event payload shape as ``ReplayEngine._check_deadline`` so ops
+        tooling sees ONE schema for the ``deadline_exceeded`` kind)."""
+        import time as _time
+
+        from .replay import DeadlineExceededError
+
+        elapsed = _time.monotonic() - started
+        if elapsed <= deadline_s:
+            return
+        from .alerts import emit_event
+
+        emit_event(
+            self.lake_dir,
+            "deadline_exceeded",
+            {
+                "deadline_s": deadline_s,
+                "elapsed_s": round(elapsed, 3),
+                "ticks_completed": rounds_done,
+            },
+            (on_event,) if callable(on_event) else tuple(on_event),
+        )
+        raise DeadlineExceededError(
+            f"lake budget {deadline_s:.0f}s exceeded after {elapsed:.1f}s "
+            f"({rounds_done} rounds); every table is at a committed tick — "
+            "rerun to resume"
+        )
 
     def follow(
         self,
@@ -302,8 +394,6 @@ class MultiTableLake:
         the lake-level ops trail, same contract as the single-table run)."""
         import time as _time
 
-        from .lock import WriterLockError
-        from .replay import DeadlineExceededError
         from ..wal import WalInfo
 
         deadline_s = (
@@ -317,40 +407,19 @@ class MultiTableLake:
                 if not s.is_view:
                     eng = self.engine(s.name)
                     eng.wal = WalInfo.load(eng.wal.wal_dir)  # new segments?
-            try:
-                r = self.tick(segments_per_tick)
-            except WriterLockError:
-                # a maintenance op holds one table — interleaving, not
-                # failure; the idle clock still bounds a stuck lock
-                if _time.monotonic() - idle_since >= idle_timeout_s:
-                    break
-                _time.sleep(poll_interval_s)
-                continue
+            # a locked table (maintenance op) yields None for the round
+            # while the others commit — interleaving must not discard their
+            # results or stall the tail (tolerate_locked)
+            r = self.tick(segments_per_tick, tolerate_locked=True)
             if any(v is not None for v in r.values()):
                 rounds.append(r)
                 idle_since = _time.monotonic()
                 if max_rounds is not None and len(rounds) >= max_rounds:
                     break
                 if deadline_s is not None:
-                    elapsed = _time.monotonic() - started
-                    if elapsed > deadline_s:
-                        from .alerts import emit_event
-
-                        emit_event(
-                            self.lake_dir,
-                            "deadline_exceeded",
-                            {
-                                "budget_s": deadline_s,
-                                "elapsed_s": round(elapsed, 1),
-                                "rounds": len(rounds),
-                            },
-                            callbacks=tuple(on_event),
-                        )
-                        raise DeadlineExceededError(
-                            f"lake budget {deadline_s:.0f}s exceeded after "
-                            f"{elapsed:.1f}s ({len(rounds)} rounds); every "
-                            "table is at a committed tick — rerun to resume"
-                        )
+                    self._check_deadline(
+                        started, deadline_s, len(rounds), on_event
+                    )
             else:
                 if _time.monotonic() - idle_since >= idle_timeout_s:
                     break
@@ -500,11 +569,17 @@ def _partial_plan(agg_spec: dict) -> tuple[list, list[tuple[str, str | None, str
     return arrow_aggs, fields
 
 
-def _agg_partial_of_state(man: dict, agg_spec: dict, out_path: str) -> int:
+def _agg_partial_of_state(
+    man: dict, agg_spec: dict, out_path: str, col_types: dict | None = None
+) -> int:
     """Recompute one bucket's partial of a derived aggregate view from its
     committed state (merge-on-read in delta mode). Idempotent; atomic
-    publish. Columns an old bucket predates (schema evolution) read as null
-    and drop out of the aggregates — matching SQL over the full state."""
+    publish. ``col_types`` (column → Arrow type from the UNIFIED upstream
+    schema) keeps partial schemas consistent across buckets: a column an
+    old bucket predates (schema evolution) reads back as nulls with an
+    arbitrary type, and a pre-widening bucket carries the narrow width —
+    both cast to the unified type here so every bucket's partial file
+    agrees, matching SQL over the full state."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -514,6 +589,10 @@ def _agg_partial_of_state(man: dict, agg_spec: dict, out_path: str) -> int:
     group_by = agg_spec["group_by"]
     need = {c for a in agg_spec["aggs"] if (c := a.get("col"))}
     t = read_bucket_state(man, columns=[*group_by, *sorted(need), "deleted"])
+    for c, typ in (col_types or {}).items():
+        i = t.schema.get_field_index(c)
+        if i >= 0 and t.schema.field(i).type != typ:
+            t = t.set_column(i, c, pc.cast(t[c], typ))
     live = t.filter(pc.invert(pc.coalesce(t["deleted"], pa.scalar(False))))
     arrow_aggs, fields = _partial_plan(agg_spec)
     g = live.group_by(group_by).aggregate(arrow_aggs)
@@ -567,6 +646,7 @@ def refresh_agg_view(
         applied = -1  # definition changed: every bucket's partial is stale
     if last["tick"] <= applied:
         return None
+    types_hash = mf.get("types_hash")  # re-checked once the schema is known
 
     with writer_lock(view_dir, "view-refresh"):
         pdir = os.path.join(view_dir, "partials")
@@ -578,6 +658,54 @@ def refresh_agg_view(
             b = int(os.path.basename(f)[2:-8])
             if b not in live_buckets:
                 os.remove(f)
+        # unified upstream schema (footer metadata only — the same
+        # driver-side unify the export path does): validates the view's
+        # columns against the table and pins every bucket's partial to ONE
+        # type per column despite schema evolution
+        import pyarrow.parquet as pq
+
+        from .apply import bucket_files
+        from .schema_evo import unify_schemas
+
+        upstream = unify_schemas(
+            [pq.read_schema(f) for m in manifests for f in bucket_files(m)]
+        )
+        need = list(
+            dict.fromkeys(
+                [
+                    *agg_spec["group_by"],
+                    *(c for a in agg_spec["aggs"] if (c := a.get("col"))),
+                ]
+            )
+        )
+        optional = {
+            a["col"] for a in agg_spec["aggs"] if a.get("col") and a.get("optional")
+        }
+        missing = [c for c in need if c not in upstream.names and c not in optional]
+        if missing:
+            raise ValueError(
+                f"view columns {missing} not in the upstream table "
+                f"(has: {', '.join(n for n in upstream.names)}; mark a "
+                "column arriving later via schema evolution \"optional\")"
+            )
+        import pyarrow as pa
+
+        # an optional column absent (so far) pins to a placeholder type —
+        # types_hash changes (full recompute) once it actually lands
+        col_types = {
+            c: (
+                upstream.field(c).type
+                if c in upstream.names
+                else pa.int64()
+            )
+            for c in need
+        }
+        new_types_hash = _agg_spec_hash({c: str(t) for c, t in col_types.items()})
+        if types_hash not in (None, new_types_hash):
+            # upstream type drift (e.g. widening landed since the last
+            # refresh): partials written at the old width disagree with new
+            # ones — every bucket's partial is stale
+            applied = -1
         touched = [m for m in manifests if m["tick"] > applied]
         if touched:
             task = ray.remote(num_cpus=1)(_agg_partial_of_state)
@@ -585,6 +713,7 @@ def refresh_agg_view(
                 task.remote(
                     dict(m), agg_spec,
                     os.path.join(pdir, f"b={m['bucket']:05d}.parquet"),
+                    col_types,
                 )
                 for m in touched
             ]
@@ -593,7 +722,12 @@ def refresh_agg_view(
             rows = 0
         _publish_view_manifest(
             view_dir,
-            {"upstream_tick": last["tick"], "kind": kind, "spec_hash": spec_hash},
+            {
+                "upstream_tick": last["tick"],
+                "kind": kind,
+                "spec_hash": spec_hash,
+                "types_hash": new_types_hash,
+            },
         )
     return {"upstream_tick": last["tick"], "buckets": len(touched), "partial_rows": rows}
 

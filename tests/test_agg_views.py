@@ -26,10 +26,11 @@ from etl_ray.engine.tables import (
 LANG_AGGS = [
     {"out": "n_files", "fn": "count"},
     {"out": "n_commits", "fn": "count", "col": "commit"},
-    {"out": "total_bytes", "col": "size_bytes", "fn": "sum", "default": 0},
+    {"out": "total_bytes", "col": "size_bytes", "fn": "sum", "default": 0,
+     "optional": True},
     {"out": "first_lsn", "col": "lsn", "fn": "min"},
     {"out": "last_lsn", "col": "lsn", "fn": "max"},
-    {"out": "mean_bytes", "col": "size_bytes", "fn": "mean"},
+    {"out": "mean_bytes", "col": "size_bytes", "fn": "mean", "optional": True},
 ]
 
 
@@ -169,3 +170,87 @@ def test_aggregate_view_config_roundtrip_and_validation(tmp_path):
     with pytest.raises(ValueError, match="bad output name"):
         TableSpec(name="v", view="aggregate", source="t", view_group_by=["g"],
                   view_aggs=[{"out": "no spaces", "fn": "count"}]).validate()
+
+
+def test_aggregate_view_stays_typed_across_widening(ray_session, tmp_path):
+    """Width evolution (size_bytes int32 → int64 mid-stream): partials of
+    buckets last written at the narrow width must agree with partials of
+    rewritten buckets (all pinned to the UNIFIED upstream type), and a
+    widening that lands between refreshes forces a full partial recompute
+    (types_hash) instead of leaving mixed-width partial files behind."""
+    import json as _json
+
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal"),
+        seed=13, n_events=6_000, n_repos=16, paths_per_repo=60,
+        dup_rate=0.02, delete_rate=0.05, ooo_window=200,
+        evolve_at_frac=0.3, widen_at_frac=0.6, segment_rows=1_000,
+        content_min=16, content_max=128, days_span=4,
+    )
+    specs = [
+        TableSpec(name="repo_files", wal_dir=wal.wal_dir, num_buckets=8),
+        TableSpec(
+            name="sizes", view="aggregate", source="repo_files",
+            view_group_by=["lang"],
+            view_aggs=[
+                {"out": "max_bytes", "col": "size_bytes", "fn": "max"},
+                {"out": "n", "fn": "count"},
+            ],
+        ),
+    ]
+    lake = MultiTableLake(str(tmp_path / "ml"), specs)
+    n = len(wal.segments)
+    # first refresh sees only the narrow (int32) width
+    lake.tick(max_segments=max(1, int(n * 0.4)))
+    v_dir = lake.table_dir("sizes")
+    h1 = _json.load(open(os.path.join(v_dir, "_view.json")))["types_hash"]
+    # the widened segments land; refresh must detect the type drift and
+    # rewrite EVERY partial, not only the advanced buckets'
+    lake.replay_all()
+    h2 = _json.load(open(os.path.join(v_dir, "_view.json")))["types_hash"]
+    assert h1 != h2, "widening must change the pinned column types"
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(v_dir, "partials", "b=*.parquet")):
+        t = pq.read_schema(f)
+        assert str(t.field("max_bytes").type) == "int64", f
+    got = (
+        lake.read_view("sizes")
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    exp = duckdb.sql(f"""
+        SELECT lang, CAST(MAX(size_bytes) AS BIGINT) AS max_bytes,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT lang, CAST(size_bytes AS BIGINT) AS size_bytes, op,
+                   row_number() OVER (PARTITION BY repo, path
+                                      ORDER BY lsn DESC) AS rn
+            FROM read_parquet([{files}], union_by_name=true)
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        GROUP BY lang ORDER BY lang
+    """).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_aggregate_view_rejects_unknown_column(ray_session, small_wal, tmp_path):
+    """A typo'd source column errors loudly instead of producing all-null
+    aggregates over fabricated columns."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(
+                name="v", view="aggregate", source="repo_files",
+                view_group_by=["lang"],
+                view_aggs=[{"out": "s", "col": "size_byte", "fn": "sum"}],
+            ),
+        ],
+    )
+    with pytest.raises(ValueError, match="size_byte.*not in the upstream"):
+        lake.replay_all(segments_per_tick=2)

@@ -64,6 +64,15 @@ def test_delta_mode_crash_mid_commit_then_resume(ray_session, small_wal, tmp_pat
     ).replay_all()
     assert res, "resume must reprocess the crashed tick"
     _assert_oracle(lake, small_wal)
+    # the redo of buckets the crashed attempt ALREADY published must
+    # reproduce their chain in place, not re-append this tick's delta:
+    # a duplicate entry folds the file twice on every read and counts
+    # double against the threshold
+    for m in LakeLineage(lake).all_bucket_manifests():
+        chain = m.get("delta_files") or []
+        assert len(chain) == len(set(chain)), (
+            f"bucket {m['bucket']}: duplicate delta entries {chain}"
+        )
 
 
 def test_delta_mode_reapply_is_noop(ray_session, small_wal, tmp_path):

@@ -515,3 +515,67 @@ def test_multi_table_erase_scrubs_state_and_views(
     ), "untargeted table must be untouched"
     with pytest.raises(ValueError, match="not base tables"):
         lake.erase(victims, tables=["repo_stats"])
+
+
+def test_follow_tolerates_one_locked_table(ray_session, small_wal, wal_b, tmp_path):
+    """A maintenance op holding ONE table's writer lock must not discard the
+    other tables' committed results or stall the tail."""
+    from etl_ray.engine.lock import writer_lock
+
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="a", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(name="b", wal_dir=wal_b.wal_dir, num_buckets=4),
+        ],
+    )
+    with writer_lock(lake.table_dir("b"), "test-maintenance"):
+        rounds = lake.follow(
+            poll_interval_s=0.1, idle_timeout_s=1.0, segments_per_tick=2
+        )
+    # table A drained while B was locked; A's results were kept
+    assert rounds, "A's committed rounds must be recorded"
+    assert all(r["b"] is None for r in rounds)
+    a_segs = sum(r["a"].segments for r in rounds if r["a"] is not None)
+    assert a_segs == len(small_wal.segments)
+    assert LakeLineage(lake.table_dir("b")).last_tick() is None
+    # the lock released: the next replay drains B
+    lake.replay_all()
+    assert LakeLineage(lake.table_dir("b")).last_tick() is not None
+
+
+def test_batch_replay_deadline_and_alert_callback(ray_session, small_wal, tmp_path):
+    """replay_all honors the wall-clock budget too (not only follow), and a
+    BARE callable on_event is accepted — both with the engine's payload
+    schema for the deadline_exceeded event."""
+    from etl_ray.engine.replay import DeadlineExceededError
+
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8)],
+    )
+    seen = []
+    with pytest.raises(DeadlineExceededError, match="committed tick"):
+        lake.replay_all(
+            segments_per_tick=1, deadline_minutes=1e-9, on_event=seen.append
+        )
+    assert lake.status()["repo_files"]["tick"] == 0
+    assert len(seen) == 1 and seen[0]["kind"] == "deadline_exceeded"
+    payload = seen[0]["payload"]
+    assert {"deadline_s", "elapsed_s", "ticks_completed"} <= set(payload), (
+        "payload keys must match the single-table engine's schema"
+    )
+
+
+def test_table_name_and_config_validation(tmp_path):
+    for bad in ("..", ".", "a/b", "_hidden", "", "a b"):
+        with pytest.raises(ValueError, match="bad table name"):
+            TableSpec(name=bad, wal_dir="/w").validate()
+    # a typo'd config key must not silently build a different lake
+    with pytest.raises(ValueError, match="unknown table-config keys"):
+        spec_from_config({"name": "t", "wal": "/w", "bucket": 64})
+    # concurrency round-trips, including the (lo, hi) list form
+    s = spec_from_config({"name": "t", "wal": "/w", "concurrency": [2, 6]})
+    assert s.concurrency == (2, 6)
+    s = spec_from_config({"name": "t", "wal": "/w", "concurrency": 4})
+    assert s.concurrency == 4
