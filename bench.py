@@ -148,6 +148,35 @@ def run_bench() -> dict:
         control_after = _control_probe()
     cdc_sec = min(cdc_trials)
     timings["cdc_replay"] = round(cdc_sec, 3)
+
+    def _bytes_written(lk: str) -> int:
+        import glob as _g
+        import json as _j
+
+        tot = 0
+        for f in _g.glob(os.path.join(lk, "_ticks", "tick-*.json")):
+            with open(f) as fh:
+                tot += int(_j.load(fh).get("state_bytes_written") or 0)
+        return tot
+
+    # --- base+delta vs rewrite at the SAME multi-tick structure -------------
+    # (4-segment ticks so the write-amplification win is visible: rewrite
+    # mode rewrites every touched bucket in full each tick)
+    mode_bytes = {}
+    for mode in ("rewrite", "delta"):
+        mlake = os.path.join(em._SCRATCH, f"bench-lake-{mode}-{NUM_CPUS}")
+        shutil.rmtree(mlake, ignore_errors=True)
+        t0 = time.perf_counter()
+        ReplayEngine(
+            wal.wal_dir, mlake, num_buckets=max(2 * NUM_CPUS, 32),
+            concurrency=NUM_CPUS, state_mode=mode,
+            aggregate=False,  # state-write cost only: aggs add equal noise
+        ).replay_all(segments_per_tick=4)
+        timings[f"cdc_replay_{mode}_4seg_ticks"] = round(
+            time.perf_counter() - t0, 3
+        )
+        mode_bytes[mode] = _bytes_written(mlake)
+        shutil.rmtree(mlake, ignore_errors=True)
     # seed the query-layer replay cache with the composite key _replay() uses,
     # so any cdc_* query timed below reuses the warmed bench lake
     em._REPLAY_CACHE[f"{em._sf_tag(SF_DIR)}-{em._wal_events_for(SF_DIR)}"] = (wal, lake)
@@ -185,6 +214,8 @@ def run_bench() -> dict:
         # the quiet-window cost). >1.5 triggered one extra headline trial.
         "control_before": control,
         "control_after": control_after,
+        # write amplification: state bytes written over the same 4-seg ticks
+        "state_bytes_written": mode_bytes,
         # orchestration evidence: independent task counts of the last tick
         "stage_tasks": {
             "stage1_tasks": getattr(eng, "last_stage1_tasks", None),
