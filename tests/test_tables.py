@@ -261,6 +261,47 @@ def test_config_file_and_cli_surface(ray_session, small_wal, tmp_path):
     reg = json.load(open(os.path.join(str(tmp_path / "ml"), "_tables.json")))
     assert [t["name"] for t in reg["tables"]] == ["repo_files", "repo_stats"]
 
+    # the erase / export CLI handlers, driven through main()
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_ray.__main__ import main
+
+    out_dir = str(tmp_path / "view_out")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "tables-export", "--lake", str(tmp_path / "ml"),
+                "--config", str(cfgp), "--table", "repo_stats",
+                "--out", out_dir,
+            ]
+        )
+    assert not rc
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["rows"] == len(_view_df(lake, "repo_stats"))
+    victim = _view_df(lake, "repo_stats").iloc[0]["repo"]
+    import pyarrow.parquet as pq
+
+    any_path = (
+        pq.read_table(lake.table_dir("repo_files") + "/buckets", columns=["repo", "path"])
+    )
+    import pyarrow.compute as pc
+
+    path = any_path.filter(pc.equal(any_path["repo"], victim))["path"][0].as_py()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "tables-erase", "--lake", str(tmp_path / "ml"),
+                "--config", str(cfgp), "--key", f"{victim}:{path}",
+            ]
+        )
+    assert not rc
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["repo_files"]["erased"] == 1
+    assert "repo_stats" in res, "the view must refresh after the erase"
+
 
 def test_spec_validation():
     with pytest.raises(ValueError, match="needs wal_dir"):
