@@ -422,7 +422,12 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # Embedding safety: only shut down a Ray runtime this call started.
+    # Host processes (pytest session fixtures, library callers) that invoke
+    # main() in-process own their Ray session — tearing it down here kills
+    # every subsequent Ray user in that process.
+    _ray_started_here = not ray.is_initialized()
+    if _ray_started_here:
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True, "logging_level": "ERROR"}
         if args.cmd == "replay" and args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
@@ -903,7 +908,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
             return 0 if ok else 1
     finally:
-        ray.shutdown()
+        if _ray_started_here:
+            ray.shutdown()
     return 0
 
 

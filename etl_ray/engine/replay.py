@@ -211,7 +211,13 @@ class ReplayEngine:
             return self.concurrency
         import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        else:
+            # Library callers may size the pool before (or without) a live
+            # Ray session — fail soft to the host CPU count rather than
+            # raising RaySystemError from a background warm-pool thread.
+            cpus = int(os.cpu_count() or 8)
         hi = max(2, cpus - 2)
         if isinstance(self.concurrency, int):
             hi = min(self.concurrency, hi)

@@ -303,6 +303,39 @@ def test_config_file_and_cli_surface(ray_session, small_wal, tmp_path):
     assert "repo_stats" in res, "the view must refresh after the erase"
 
 
+def test_main_is_embedding_safe(ray_session, small_wal, tmp_path):
+    """Regression (round-4 verdict): ``main()`` must not shut down a Ray
+    runtime it did not start.  Call it twice in-process, then run a real
+    engine tick in the same process — the session Ray must survive."""
+    import ray
+
+    from etl_ray.__main__ import main
+
+    cfgp = tmp_path / "tables.json"
+    cfgp.write_text(
+        json.dumps(
+            {"tables": [{"name": "repo_files", "wal": small_wal.wal_dir, "buckets": 4}]}
+        )
+    )
+    lake = MultiTableLake(str(tmp_path / "ml"), load_config(str(cfgp)))
+    lake.replay_all()
+
+    import io
+    from contextlib import redirect_stdout
+
+    for _ in range(2):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = main(["tables-status", "--lake", str(tmp_path / "ml"), "--config", str(cfgp)])
+        assert not rc
+        assert ray.is_initialized(), "main() tore down the host's Ray session"
+
+    # a genuine engine tick after the embedded calls must still work
+    lake2 = MultiTableLake(str(tmp_path / "ml2"), load_config(str(cfgp)))
+    lake2.replay_all()
+    assert lake2.status()["repo_files"]["live_rows"] > 0
+
+
 def test_spec_validation():
     with pytest.raises(ValueError, match="needs wal_dir"):
         TableSpec(name="x").validate()
