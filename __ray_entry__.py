@@ -249,6 +249,21 @@ def _multi_lake(sf_dir: str):
             concurrency=4, aggregate=False,
         ),
         TableSpec(name="repo_stats", view="repo_stats", source="repo_files"),
+        # registration-style fact view: first/last event metadata per repo
+        # (the reference's first-event-per-user rollup,
+        # ``insert_registration.sql:18-41``, as incremental view aggregates)
+        TableSpec(
+            name="registration", view="aggregate", source="repo_files",
+            view_group_by=["repo"],
+            view_aggs=[
+                {"out": "live_files", "fn": "count"},
+                {"out": "first_lsn", "col": "lsn", "fn": "min"},
+                {"out": "first_path", "col": "path", "fn": "first", "by": "lsn"},
+                {"out": "first_commit", "col": "commit", "fn": "first", "by": "lsn"},
+                {"out": "last_path", "col": "path", "fn": "last", "by": "lsn"},
+                {"out": "last_ts", "col": "commit_ts", "fn": "last", "by": "lsn"},
+            ],
+        ),
     ]
     lake = MultiTableLake(lake_dir, specs)
     lake.replay_all()
@@ -281,6 +296,23 @@ def cdc_multi_second_table(sf_dir: str):
     return df.sort_values(["repo", "path"]).reset_index(drop=True)
 
 
+def cdc_registration_view(sf_dir: str):
+    """Registration-style fact view (first/last by order key as view
+    aggregates): first/last event metadata per repo, maintained
+    incrementally from the upstream table's bucket lineage. Reference
+    semantics: ``insert_registration.sql:18-41`` (first event per user with
+    rider columns), ``insert_sessions.sql:36-83`` (rank-1 winner rows)."""
+    lake = _multi_lake(sf_dir)
+    df = lake.read_view("registration").to_pandas()
+    from etl_ray.ops.common import epoch_us
+
+    df["last_ts_us"] = epoch_us(df["last_ts"])
+    df = df.drop(columns=["last_ts"]).astype(
+        {"live_files": "int64", "first_lsn": "int64", "last_ts_us": "int64"}
+    )
+    return df.sort_values("repo").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return cdc_final_state("/root/testdata/sf0.001")
@@ -306,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-table lake (TableSpec registry, one replay loop)
         "cdc_multi_repo_stats": cdc_multi_repo_stats,
         "cdc_multi_second_table": cdc_multi_second_table,
+        "cdc_registration_view": cdc_registration_view,
         # relational ops
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_region": rel.revenue_by_region,
@@ -333,7 +366,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sliding_window_counts retired from the registry (the driver judges
         # at most 50 entries; tumbling covers the window family here) — the
         # op + its DuckDB-oracle pytest remain (tests/test_retired_ops.py)
-        "entity_union_by_name": rel.entity_union_by_name,
+        # entity_union_by_name rotated out of the 50-entry judged registry
+        # (D7 union-align stays covered by part_brand_union) to admit
+        # cdc_registration_view; op + DuckDB-oracle pytest remain
+        # (tests/test_retired_ops.py).
         # text analysis
         "doc_token_stats": tx.doc_token_stats,
         "lang_doc_summary": tx.lang_doc_summary,
@@ -476,6 +512,22 @@ def _cdc_oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1 AND op <> 'delete'
             ORDER BY repo, path
+        """,
+        "cdc_registration_view": f"""
+            SELECT repo,
+                   CAST(COUNT(*) AS BIGINT) AS live_files,
+                   CAST(MIN(lsn) AS BIGINT) AS first_lsn,
+                   arg_min(path, lsn) AS first_path,
+                   arg_min("commit", lsn) AS first_commit,
+                   arg_max(path, lsn) AS last_path,
+                   CAST(epoch_us(arg_max(commit_ts, lsn)) AS BIGINT) AS last_ts_us
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+                FROM {wal_src}
+            )
+            WHERE rn = 1 AND op <> 'delete'
+            GROUP BY repo ORDER BY repo
         """,
         "cdc_fold_state": f"""
             WITH uniq AS ({uniq}),
@@ -797,16 +849,6 @@ def oracle_sql() -> dict[str, str]:
                        AS window_start_us,
                    event_type, COUNT(*) AS events, ROUND(SUM(value), 6) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
-        """,
-        "entity_union_by_name": """
-            SELECT kind, name, nationkey, acctbal, mktsegment FROM (
-                SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey,
-                       ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS mktsegment
-                FROM customer
-                UNION ALL
-                SELECT 'supplier', s_name, s_nationkey, ROUND(s_acctbal, 2), NULL
-                FROM supplier
-            ) ORDER BY kind, name
         """,
         "user_state_fold": """
             SELECT user_id,

@@ -34,8 +34,14 @@ from dataclasses import dataclass, field
 VIEW_KINDS = ("repo_stats", "aggregate")
 
 # supported aggregate-view functions; sum/count/min/max are distributive
-# (exact under the two-level partial/reduce), mean decomposes into sum+count
-AGG_FNS = ("sum", "count", "min", "max", "mean")
+# (exact under the two-level partial/reduce), mean decomposes into sum+count.
+# first/last are argmin/argmax by an order key ("by"): the value of "col" on
+# the group's row with the smallest/largest "by" — the reference's rank-1
+# fact rollups (first event per user: ``insert_registration.sql:18-41``;
+# session winner rows: ``insert_sessions.sql:36-83``) as view aggregates.
+# They stay distributive by encoding (order, value) into ONE lexicographically
+# sortable binary cell, so partial and reduce are both plain min/max.
+AGG_FNS = ("sum", "count", "min", "max", "mean", "first", "last")
 
 # the repo_stats preset, expressed in the generic aggregate-view spec — the
 # reference's semantic layer is exactly this shape: config-driven
@@ -130,6 +136,11 @@ class TableSpec:
                     if fn != "count" and not a.get("col"):
                         raise ValueError(
                             f"aggregate view {self.name!r}: {out!r} ({fn}) needs col"
+                        )
+                    if fn in ("first", "last") and not a.get("by"):
+                        raise ValueError(
+                            f"aggregate view {self.name!r}: {out!r} ({fn}) needs "
+                            "an order key ('by')"
                         )
                     outs.append(out)
                 dupes = {o for o in outs if outs.count(o) > 1}
@@ -540,6 +551,159 @@ def _publish_view_manifest(view_dir: str, obj: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
+# --- first/last (argmin/argmax by order key) encoding ----------------------
+# (order, value) packs into one binary cell: 8-byte order-preserving
+# big-endian order key ++ 1-byte null marker ++ value bytes. Lexicographic
+# min/max of the cell IS the argmin/argmax row, so the two-level reduce
+# stays plain min/max (distributive). Ties on the order key break by value
+# bytes (deterministic); a null order key encodes as null (ignored by
+# min/max); a null VALUE at the winning order still wins, decoding to null.
+
+
+def _sortable_u64(col, *, total_order_floats: bool = True):
+    """Arrow numeric/temporal column → (uint64 codes whose unsigned order
+    equals the value order, null mask). Strings are rejected: variable-width
+    order prefixes would break lexicographic comparability of the packed
+    cell."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    sign = np.uint64(1 << 63)
+    if (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_boolean(t)
+    ):
+        v = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy()
+        codes = v.astype(np.int64).view(np.uint64) ^ sign
+    elif pa.types.is_floating(t):
+        v = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy()
+        bits = v.view(np.uint64)
+        neg = bits >> np.uint64(63) != 0
+        codes = np.where(neg, ~bits, bits ^ sign)
+    else:
+        raise ValueError(
+            f"first/last cannot order/carry type {t} (need numeric/temporal; "
+            "string rider values are fine, string ORDER keys are not)"
+        )
+    return codes, nulls
+
+
+def _u64_to_binary(codes, nulls):
+    """uint64 codes → Arrow binary array of 8-byte big-endian cells.
+    (Via fixed_size_binary over the raw buffer — a numpy 'S8' view would
+    silently strip trailing NUL bytes.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    be = codes.astype(">u8")
+    fsb = pa.Array.from_buffers(
+        pa.binary(8), len(be), [None, pa.py_buffer(be.tobytes())]
+    )
+    out = fsb.cast(pa.binary())
+    if nulls.any():
+        out = pc.if_else(
+            pa.array(nulls), pa.scalar(None, pa.binary()), out
+        )
+    return out
+
+
+def _enc_extreme(order_col, value_col) -> "pa.Array":
+    """Pack (order, value) into the sortable binary cell (see above)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    order_bin = _u64_to_binary(*_sortable_u64(order_col))
+    if isinstance(value_col, pa.ChunkedArray):
+        value_col = value_col.combine_chunks()
+    vt = value_col.type
+    if pa.types.is_string(vt):
+        value_bin = pc.cast(value_col, pa.binary())
+    elif pa.types.is_binary(vt):
+        value_bin = value_col
+    else:
+        value_bin = _u64_to_binary(*_sortable_u64(value_col))
+    marker = pc.if_else(
+        pc.is_null(value_bin),
+        pa.scalar(b"\x00", pa.binary()),
+        pa.scalar(b"\x01", pa.binary()),
+    )
+    return pc.binary_join_element_wise(
+        order_bin,
+        marker,
+        pc.fill_null(value_bin, pa.scalar(b"", pa.binary())),
+        pa.scalar(b"", pa.binary()),
+    )
+
+
+def _dec_extreme(bin_col, value_type) -> "pa.Array":
+    """Packed winners → values of ``value_type``. Runs at final aggregate
+    grain only (one cell per group), so the per-cell Python is bounded by
+    output size, not data size."""
+    import pyarrow as pa
+
+    sign = 1 << 63
+    mask = (1 << 64) - 1
+    out = []
+    for b in bin_col.to_pylist():
+        if b is None or len(b) < 9 or b[8:9] == b"\x00":
+            out.append(None)
+            continue
+        payload = b[9:]
+        if pa.types.is_string(value_type):
+            out.append(payload.decode("utf-8"))
+        elif pa.types.is_binary(value_type):
+            out.append(payload)
+        elif pa.types.is_floating(value_type):
+            import struct
+
+            u = int.from_bytes(payload, "big")
+            bits = (u ^ sign) if u & sign else (~u & mask)
+            out.append(struct.unpack(">d", struct.pack(">Q", bits))[0])
+        else:  # ints / timestamp / date / bool — stored as shifted int64
+            u = int.from_bytes(payload, "big") ^ sign
+            x = u - (1 << 64) if u >= sign else u
+            if pa.types.is_boolean(value_type):
+                x = bool(x)
+            out.append(x)
+    return pa.array(out, type=value_type)
+
+
+def _extremal_fields(agg_spec: dict) -> list[dict]:
+    return [a for a in agg_spec["aggs"] if a["fn"] in ("first", "last")]
+
+
+def _enc_types_payload(agg_spec: dict, col_types: dict) -> str | None:
+    """Value types of the extremal outputs, IPC-serialized (base64) for the
+    view manifest — the read side needs the exact Arrow types to decode."""
+    import base64
+
+    import pyarrow as pa
+
+    ext = _extremal_fields(agg_spec)
+    if not ext:
+        return None
+    schema = pa.schema([(a["out"], col_types[a["col"]]) for a in ext])
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def _enc_types_load(payload: str | None):
+    import base64
+
+    import pyarrow as pa
+
+    if not payload:
+        return {}
+    schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(payload)))
+    return {f.name: f.type for f in schema}
+
+
 def _partial_plan(agg_spec: dict) -> tuple[list, list[tuple[str, str | None, str]]]:
     """The Arrow group_by aggregate list (deduped) and, per declared field,
     the partial columns it lands in: [(partial_col, src_col, arrow_fn)].
@@ -561,6 +725,13 @@ def _partial_plan(agg_spec: dict) -> tuple[list, list[tuple[str, str | None, str
         elif fn == "count" and col is None:
             want(None, "count_all")
             fields.append((a["out"], None, "count_all"))
+        elif fn in ("first", "last"):
+            # aggregates over the packed (order, value) cell appended by
+            # _agg_partial_of_state, not over a raw upstream column
+            enc_col = f"__enc_{a['out']}"
+            arrow_fn = "min" if fn == "first" else "max"
+            want(enc_col, arrow_fn)
+            fields.append((f"__e_{a['out']}", enc_col, arrow_fn))
         else:
             arrow_fn = "count" if fn == "count" else fn
             want(col, arrow_fn)
@@ -588,12 +759,17 @@ def _agg_partial_of_state(
 
     group_by = agg_spec["group_by"]
     need = {c for a in agg_spec["aggs"] if (c := a.get("col"))}
+    need |= {b for a in agg_spec["aggs"] if (b := a.get("by"))}
     t = read_bucket_state(man, columns=[*group_by, *sorted(need), "deleted"])
     for c, typ in (col_types or {}).items():
         i = t.schema.get_field_index(c)
         if i >= 0 and t.schema.field(i).type != typ:
             t = t.set_column(i, c, pc.cast(t[c], typ))
     live = t.filter(pc.invert(pc.coalesce(t["deleted"], pa.scalar(False))))
+    for a in _extremal_fields(agg_spec):
+        live = live.append_column(
+            f"__enc_{a['out']}", _enc_extreme(live[a["by"]], live[a["col"]])
+        )
     arrow_aggs, fields = _partial_plan(agg_spec)
     g = live.group_by(group_by).aggregate(arrow_aggs)
     cols = {k: g[k] for k in group_by}
@@ -675,6 +851,7 @@ def refresh_agg_view(
                 [
                     *agg_spec["group_by"],
                     *(c for a in agg_spec["aggs"] if (c := a.get("col"))),
+                    *(b for a in agg_spec["aggs"] if (b := a.get("by"))),
                 ]
             )
         )
@@ -700,6 +877,19 @@ def refresh_agg_view(
             )
             for c in need
         }
+        for a in _extremal_fields(agg_spec):
+            bt = col_types[a["by"]]
+            if not (
+                pa.types.is_integer(bt)
+                or pa.types.is_timestamp(bt)
+                or pa.types.is_date(bt)
+                or pa.types.is_floating(bt)
+                or pa.types.is_boolean(bt)
+            ):
+                raise ValueError(
+                    f"first/last order key {a['by']!r} has unorderable "
+                    f"type {bt} (need numeric/temporal)"
+                )
         new_types_hash = _agg_spec_hash({c: str(t) for c, t in col_types.items()})
         if types_hash not in (None, new_types_hash):
             # upstream type drift (e.g. widening landed since the last
@@ -727,6 +917,8 @@ def refresh_agg_view(
                 "kind": kind,
                 "spec_hash": spec_hash,
                 "types_hash": new_types_hash,
+                # exact Arrow value types of first/last outputs (decode side)
+                "enc_types": _enc_types_payload(agg_spec, col_types),
             },
         )
     return {"upstream_tick": last["tick"], "buckets": len(touched), "partial_rows": rows}
@@ -748,15 +940,20 @@ def read_agg_view(agg_spec: dict, view_dir: str):
 
     group_by = agg_spec["group_by"]
     aggs = agg_spec["aggs"]
+    enc_types = _enc_types_load(_view_manifest(view_dir).get("enc_types"))
     files = sorted(glob.glob(os.path.join(view_dir, "partials", "b=*.parquet")))
     if not files:
         # an unrefreshed view has no partials and no recorded types; surface
-        # the declared shape (string keys, int64 metrics, float64 means)
+        # the declared shape (string keys, int64 metrics, float64 means,
+        # manifest types — else string — for first/last)
         cols = {k: pa.array([], pa.string()) for k in group_by}
         for a in aggs:
-            cols[a["out"]] = pa.array(
-                [], pa.float64() if a["fn"] == "mean" else pa.int64()
-            )
+            if a["fn"] in ("first", "last"):
+                cols[a["out"]] = pa.array([], enc_types.get(a["out"], pa.string()))
+            else:
+                cols[a["out"]] = pa.array(
+                    [], pa.float64() if a["fn"] == "mean" else pa.int64()
+                )
         return ray.data.from_arrow(pa.table(cols))
     ds = ray.data.read_parquet(files, partitioning=None)
     reduce_aggs = {}
@@ -767,6 +964,11 @@ def read_agg_view(agg_spec: dict, view_dir: str):
             reduce_aggs[f"__c_{out}"] = (f"__c_{out}", "sum")
         elif fn in ("count", "sum"):
             reduce_aggs[out] = (out, "sum")  # counts re-sum across partials
+        elif fn in ("first", "last"):
+            # winner-of-winners: min/max of the packed cell across buckets
+            reduce_aggs[f"__e_{out}"] = (
+                f"__e_{out}", "min" if fn == "first" else "max"
+            )
         else:
             reduce_aggs[out] = (out, fn)  # min/max are idempotent
     red = partial_groupby(ds, group_by, reduce_aggs)
@@ -783,6 +985,11 @@ def read_agg_view(agg_spec: dict, view_dir: str):
                     pa.scalar(None, pa.float64()),
                     pc.divide(s, pc.if_else(zero, pa.scalar(1.0), c)),
                 )
+            elif a["fn"] in ("first", "last"):
+                e = t[f"__e_{a['out']}"]
+                if isinstance(e, pa.ChunkedArray):
+                    e = e.combine_chunks()
+                v = _dec_extreme(e, enc_types.get(a["out"], pa.string()))
             else:
                 v = t[a["out"]]
                 if isinstance(v, pa.ChunkedArray):

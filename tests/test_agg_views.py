@@ -254,3 +254,138 @@ def test_aggregate_view_rejects_unknown_column(ray_session, small_wal, tmp_path)
     )
     with pytest.raises(ValueError, match="size_byte.*not in the upstream"):
         lake.replay_all(segments_per_tick=2)
+
+
+# --- first/last (argmin/argmax by order key) --------------------------------
+
+REG_AGGS = [
+    {"out": "live_files", "fn": "count"},
+    {"out": "first_lsn", "col": "lsn", "fn": "min"},
+    {"out": "first_path", "col": "path", "fn": "first", "by": "lsn"},
+    {"out": "first_commit", "col": "commit", "fn": "first", "by": "lsn"},
+    {"out": "last_path", "col": "path", "fn": "last", "by": "lsn"},
+    {"out": "last_ts", "col": "commit_ts", "fn": "last", "by": "lsn"},
+]
+
+
+def _registration_specs(wal, **table_kw) -> list[TableSpec]:
+    """The reference's registration fact (first event per user with rider
+    columns, ``insert_registration.sql:18-41``) as an aggregate view over
+    the live state: first/last commit metadata per repo."""
+    return [
+        TableSpec(name="repo_files", wal_dir=wal.wal_dir, num_buckets=8, **table_kw),
+        TableSpec(
+            name="registration",
+            view="aggregate",
+            source="repo_files",
+            view_group_by=["repo"],
+            view_aggs=REG_AGGS,
+        ),
+    ]
+
+
+def _oracle_registration(wal) -> pd.DataFrame:
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    return duckdb.sql(f"""
+        SELECT repo,
+               CAST(COUNT(*) AS BIGINT) AS live_files,
+               CAST(MIN(lsn) AS BIGINT) AS first_lsn,
+               arg_min(path, lsn) AS first_path,
+               arg_min("commit", lsn) AS first_commit,
+               arg_max(path, lsn) AS last_path,
+               arg_max(commit_ts, lsn) AS last_ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo, path
+                                         ORDER BY lsn DESC) AS rn
+            FROM read_parquet([{files}], union_by_name=true)
+        )
+        WHERE rn = 1 AND op <> 'delete'
+        GROUP BY repo ORDER BY repo
+    """).df()
+
+
+@pytest.mark.parametrize("state_mode", ["rewrite", "delta"])
+def test_first_last_registration_view_matches_oracle(
+    ray_session, small_wal, tmp_path, state_mode
+):
+    """first/last ride the same incremental two-level machinery: winners
+    per bucket partial, winner-of-winners at read — multi-tick replay so
+    partials really are refreshed incrementally across ticks."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"), _registration_specs(small_wal, state_mode=state_mode)
+    )
+    lake.replay_all(segments_per_tick=2)
+    got = (
+        lake.read_view("registration")
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+        .astype({"live_files": "int64", "first_lsn": "int64"})
+    )
+    exp = _oracle_registration(small_wal)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_first_last_validation():
+    with pytest.raises(ValueError, match="needs an order key"):
+        TableSpec(
+            name="v", view="aggregate", source="t", view_group_by=["g"],
+            view_aggs=[{"out": "f", "col": "x", "fn": "first"}],
+        ).validate()
+    s = spec_from_config(
+        {
+            "name": "reg", "view": "aggregate", "source": "t",
+            "group_by": ["repo"],
+            "aggs": [{"out": "fp", "col": "path", "fn": "first", "by": "lsn"}],
+        }
+    )
+    assert s.view_aggs[0]["by"] == "lsn"
+
+
+def test_first_last_rejects_string_order_key(ray_session, small_wal, tmp_path):
+    """A variable-width order key cannot be packed order-preservingly —
+    refuse loudly at refresh time."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=4),
+            TableSpec(
+                name="v", view="aggregate", source="repo_files",
+                view_group_by=["repo"],
+                view_aggs=[{"out": "f", "col": "lsn", "fn": "first", "by": "path"}],
+            ),
+        ],
+    )
+    with pytest.raises(ValueError, match="unorderable"):
+        lake.replay_all(segments_per_tick=2)
+
+
+def test_extreme_pack_roundtrip_kernels():
+    """Unit coverage of the (order, value) packing: sign handling for ints
+    and floats, null order keys (ignored), null values at the winning
+    order (win and decode to null), tie-break determinism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.engine.tables import _dec_extreme, _enc_extreme
+
+    # negative/zero/positive float order keys sort correctly
+    order = pa.array([2.5, -1.0, 0.0], pa.float64())
+    vals = pa.array([-5, 3, None], pa.int64())
+    enc = _enc_extreme(order, vals)
+    assert _dec_extreme(enc, pa.int64()).to_pylist() == [-5, 3, None]
+    assert _dec_extreme(
+        pa.array([pc.min(enc).as_py()], pa.binary()), pa.int64()
+    ).to_pylist() == [3], "min order -1.0 carries value 3"
+    # null order key encodes null (min/max skip it)
+    enc2 = _enc_extreme(pa.array([None, 1], pa.int64()), pa.array(["a", "b"]))
+    assert enc2.null_count == 1
+    # null VALUE at the winning order wins and decodes to null
+    enc3 = _enc_extreme(pa.array([1, 2], pa.int64()),
+                        pa.array([None, "b"], pa.string()))
+    assert _dec_extreme(
+        pa.array([pc.min(enc3).as_py()], pa.binary()), pa.string()
+    ).to_pylist() == [None]
+    # float value roundtrip incl. negatives
+    encf = _enc_extreme(pa.array([1, 2, 3]), pa.array([1.5, -2.25, None]))
+    assert _dec_extreme(encf, pa.float64()).to_pylist() == [1.5, -2.25, None]

@@ -61,11 +61,24 @@ WINNOW_SQL = """
 """
 
 
-def _oracle(sf_dir: str, table: str, sql: str) -> pd.DataFrame:
+ENTITY_UNION_SQL = """
+    SELECT kind, name, nationkey, acctbal, mktsegment FROM (
+        SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey,
+               ROUND(c_acctbal, 2) AS acctbal, c_mktsegment AS mktsegment
+        FROM customer
+        UNION ALL
+        SELECT 'supplier', s_name, s_nationkey, ROUND(s_acctbal, 2), NULL
+        FROM supplier
+    ) ORDER BY kind, name
+"""
+
+
+def _oracle(sf_dir: str, tables: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
-    )
+    for table in tables.split(","):
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+        )
     return con.execute(sql).df()
 
 
@@ -79,6 +92,10 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     [
         ("sliding_window_counts", "etl_ray.ops.events", "events", SLIDING_WINDOW_SQL),
         ("doc_winnow_fingerprints", "etl_ray.ops.text", "documents", WINNOW_SQL),
+        # rotated out in round 5 to admit cdc_registration_view (D7
+        # union-align stays driver-covered by part_brand_union)
+        ("entity_union_by_name", "etl_ray.ops.relational",
+         "customer,supplier", ENTITY_UNION_SQL),
     ],
 )
 def test_retired_op_matches_oracle(ray_session, sf_dir, fn_name, module, table, sql):
