@@ -61,3 +61,170 @@ class LangEnricher:
         lang = pa.array(lut[codes], type=pa.string())
         i = batch.schema.get_field_index("lang")
         return batch.set_column(i, "lang", lang)
+
+
+# ---------------------------------------------------------------------------
+# Named multi-dim enrichment with as-of version picks.
+#
+# The reference joins SEVERAL broadcast dims per run, some date-versioned
+# with an as-of pick (VAT: latest ``updated_at <= execution_date`` per
+# country, ``include/vat/create_country_vat_table.sql:4-15``,
+# ``insert_user_history.sql:71-89,102-108``; currency rates keyed by
+# (date_, currency), ``store_itunes_process_data.sql:16-20``). Engine form:
+# a TableSpec declares N named dims; each is hash-versioned from its file
+# and re-broadcast (ray.put once per VERSION) when it changes mid-follow;
+# date-versioned dims carry a ``valid_from`` column and join as-of a data
+# timestamp column — new ticks tag with the new version while committed
+# rows keep the version they were applied with (LWW: a dim change never
+# rewrites state).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DimSpec:
+    """One named broadcast dimension.
+
+    ``path``: parquet or JSON (list of row objects) file, re-stat'd every
+    tick. ``key``: the join column, same name on both sides. ``as_of``: the
+    DATA-side event-time column for the as-of pick — required iff the dim
+    file carries a ``valid_from`` column (multiple versions per key; the
+    row with the latest ``valid_from <= as_of`` wins). Every other dim
+    column lands on the data as ``{name}_{column}``."""
+
+    name: str
+    path: str
+    key: str
+    as_of: str | None = None
+
+    @staticmethod
+    def from_config(entry: dict) -> "DimSpec":
+        unknown = set(entry) - {"name", "path", "key", "as_of"}
+        if unknown:
+            raise ValueError(f"unknown dim-config keys {sorted(unknown)}")
+        for k in ("name", "path", "key"):
+            if not entry.get(k):
+                raise ValueError(f"dim config needs {k!r}: {entry}")
+        return DimSpec(
+            name=entry["name"], path=entry["path"], key=entry["key"],
+            as_of=entry.get("as_of"),
+        )
+
+
+VALID_FROM = "valid_from"
+
+
+def load_dim_payload(spec: DimSpec) -> dict:
+    """Driver-side load + prep of one dim file (small side — the broadcast
+    pattern). Returns {"frame": pandas DF, "value_cols": [...],
+    "versioned": bool}; versioned frames are pre-sorted by valid_from for
+    the merge_asof."""
+    import json
+
+    import pandas as pd
+
+    if spec.path.endswith(".json"):
+        with open(spec.path) as f:
+            rows = json.load(f)
+        df = pd.DataFrame(rows)
+    else:
+        import pyarrow.parquet as pq
+
+        df = pq.read_table(spec.path).to_pandas()
+    if spec.key not in df.columns:
+        raise ValueError(f"dim {spec.name!r}: key column {spec.key!r} not in {spec.path}")
+    versioned = VALID_FROM in df.columns
+    if versioned:
+        if not spec.as_of:
+            raise ValueError(
+                f"dim {spec.name!r} has {VALID_FROM!r} versions but no as_of "
+                "data column configured"
+            )
+        df[VALID_FROM] = pd.to_datetime(df[VALID_FROM]).astype("datetime64[us]")
+        df = df.sort_values(VALID_FROM, kind="mergesort").reset_index(drop=True)
+    elif df[spec.key].duplicated().any():
+        raise ValueError(
+            f"dim {spec.name!r}: duplicate keys without {VALID_FROM!r} versions"
+        )
+    value_cols = [c for c in df.columns if c not in (spec.key, VALID_FROM)]
+    if not value_cols:
+        raise ValueError(f"dim {spec.name!r} has no value columns")
+    return {"frame": df, "value_cols": value_cols, "versioned": versioned}
+
+
+def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
+    """Vectorized left join of one broadcast dim onto a batch. Plain dims:
+    lookup over the dictionary-encoded key (one gather per value column).
+    Versioned dims: pandas merge_asof on (key, as_of) — backward pick of
+    the latest valid_from <= event time."""
+    import pandas as pd
+
+    dim = payload["frame"]
+    value_cols = payload["value_cols"]
+    key = batch[spec.key]
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    if payload["versioned"]:
+        n = batch.num_rows
+        ts = pc.cast(batch[spec.as_of], pa.timestamp("us"))
+        left = pd.DataFrame(
+            {
+                spec.key: key.to_pandas(),
+                "__t": ts.to_pandas(),
+                "__i": np.arange(n, dtype=np.int64),
+            }
+        )
+        ok = left["__t"].notna() & left[spec.key].notna()
+        merged = pd.merge_asof(
+            left[ok].sort_values("__t", kind="mergesort"),
+            dim,
+            left_on="__t",
+            right_on=VALID_FROM,
+            by=spec.key,
+            direction="backward",
+        )
+        out_cols = {}
+        for c in value_cols:
+            s = pd.Series([None] * n, dtype=object)
+            s.iloc[merged["__i"].to_numpy()] = merged[c].to_numpy()
+            out_cols[c] = pa.array(s, from_pandas=True)
+    else:
+        lookup = dim.set_index(spec.key)[value_cols]
+        d = pc.dictionary_encode(pc.fill_null(key, ""))
+        uniq = d.dictionary.to_pandas()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        sub = lookup.reindex(uniq)
+        out_cols = {
+            c: pa.array(
+                pd.Series(sub[c].to_numpy()[codes]), from_pandas=True
+            )
+            for c in value_cols
+        }
+    for c, arr in out_cols.items():
+        out_name = f"{spec.name}_{c}"
+        i = batch.schema.get_field_index(out_name)
+        if i >= 0:
+            batch = batch.set_column(i, out_name, arr)
+        else:
+            batch = batch.append_column(out_name, arr)
+    return batch
+
+
+class MultiDimEnricher:
+    """Stage-1 composition: the built-in lang enricher followed by every
+    configured named dim (resolved lazily from per-version broadcast refs —
+    ST6, one object-store read per task per dim version)."""
+
+    def __init__(self, lang: LangEnricher, items: list):
+        self._lang = lang
+        self._items = items  # [(DimSpec, ObjectRef)]
+        self._resolved = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self._lang(batch)
+        if self._resolved is None:
+            self._resolved = [(s, ray.get(r)) for s, r in self._items]
+        for spec, payload in self._resolved:
+            batch = _apply_dim(batch, spec, payload)
+        return batch

@@ -88,6 +88,7 @@ class ReplayEngine:
         deadline_minutes: float | None = None,  # per-run wall-clock budget
         on_event=None,  # alert callback(s): see engine/alerts.py
         ext_map_path: str | None = None,  # versioned enrichment dim (JSON)
+        dims: list | None = None,  # named broadcast dims (enrich.DimSpec)
         state_mode: str = "rewrite",  # "rewrite" | "delta" (base+delta buckets)
         delta_threshold: int = 8,  # delta files per bucket before a base fold
     ):
@@ -111,6 +112,18 @@ class ReplayEngine:
         self.ext_map_path = ext_map_path
         self._dim_version: str | None = None
         self._dim_ref = None
+        # named multi-dim enrichment (VAT/currency-style, as-of capable):
+        # same versioning contract as the ext map, one ref per dim VERSION
+        from .enrich import DimSpec
+
+        self.dims = [
+            d if isinstance(d, DimSpec) else DimSpec.from_config(d)
+            for d in (dims or [])
+        ]
+        if len({d.name for d in self.dims}) != len(self.dims):
+            raise ValueError("duplicate dim names")
+        self._dims_versions: dict[str, str] = {}
+        self._dims_refs: dict[str, object] = {}
         self.deadline_s = (
             deadline_minutes * 60.0 if deadline_minutes is not None else None
         )
@@ -172,10 +185,41 @@ class ReplayEngine:
             self._dim_version = ver
         return ver
 
-    def _make_enricher(self) -> LangEnricher:
+    def _refresh_dims(self) -> dict[str, str]:
+        """Hash-version every named dim file; re-broadcast (ray.put once
+        per version) the ones whose content changed since the last tick.
+        Returns {dim name: version} for the tick manifest."""
+        if not self.dims:
+            return {}
+        import hashlib
+
+        import ray as _ray
+
+        from .enrich import load_dim_payload
+
+        versions = {}
+        for spec in self.dims:
+            with open(spec.path, "rb") as f:
+                raw = f.read()
+            ver = hashlib.sha256(raw).hexdigest()[:12]
+            if self._dims_versions.get(spec.name) != ver:
+                self._dims_refs[spec.name] = _ray.put(load_dim_payload(spec))
+                self._dims_versions[spec.name] = ver
+            versions[spec.name] = ver
+        return versions
+
+    def _make_enricher(self):
         if self._dim_ref is not None:
-            return LangEnricher(ext_map_ref=self._dim_ref)
-        return LangEnricher()
+            lang = LangEnricher(ext_map_ref=self._dim_ref)
+        else:
+            lang = LangEnricher()
+        if self.dims:
+            from .enrich import MultiDimEnricher
+
+            return MultiDimEnricher(
+                lang, [(s, self._dims_refs[s.name]) for s in self.dims]
+            )
+        return lang
 
     def _warm_pool(self):
         """Lazily created persistent applier actors (see WarmApplierActor).
@@ -534,6 +578,7 @@ class ReplayEngine:
             return None
 
         dim_version = self._refresh_dim()  # re-broadcast the dim if it changed
+        dim_versions = self._refresh_dims()  # named multi-dim refresh
         self.lineage.recover()  # roll back any crashed rebucket attempt
         self.lineage.gc(self.retain_ticks)  # drop uncommitted staging from any crashed run
 
@@ -779,8 +824,9 @@ class ReplayEngine:
                     sum(m.get("bytes_written") or 0 for m in manifests)
                 ),
                 "state_mode": self.state_mode,
-                # enrichment-dim lineage: which dim version tagged this tick
+                # enrichment-dim lineage: which dim version(s) tagged this tick
                 "dim_version": dim_version,
+                "dim_versions": dim_versions or None,
             }
         )
         self.lineage.gc(self.retain_ticks)

@@ -92,6 +92,10 @@ class TableSpec:
     # ("col" optional for count = COUNT(*); "default" fills an all-null group)
     view_group_by: list[str] = field(default_factory=list)
     view_aggs: list = field(default_factory=list)
+    # named broadcast enrichment dims (enrich.DimSpec config dicts):
+    # [{"name": ..., "path": ..., "key": ..., "as_of": ...?}] — versioned +
+    # re-broadcast on change, as-of pick when the dim file is date-versioned
+    dims: list = field(default_factory=list)
 
     @property
     def is_view(self) -> bool:
@@ -151,6 +155,16 @@ class TableSpec:
                     )
         elif not self.wal_dir:
             raise ValueError(f"base table {self.name!r} needs wal_dir")
+        if self.dims:
+            if self.is_view:
+                raise ValueError(
+                    f"view table {self.name!r} cannot have enrichment dims"
+                )
+            from .enrich import DimSpec
+
+            for d in self.dims:
+                if not isinstance(d, DimSpec):
+                    DimSpec.from_config(d)  # shape check, raises on typos
         if self.state_mode not in ("rewrite", "delta"):
             raise ValueError(
                 f"table {self.name!r}: state_mode must be rewrite|delta, "
@@ -163,7 +177,7 @@ _CONFIG_KEYS = frozenset(
         "name", "wal", "buckets", "concurrency", "tz_offset_minutes",
         "aggregate", "folds", "pseudonym_fields", "changelog", "retain_ticks",
         "shuffle", "view", "source", "state_mode", "delta_threshold",
-        "group_by", "aggs",
+        "group_by", "aggs", "dims",
     }
 )
 
@@ -205,6 +219,7 @@ def spec_from_config(entry: dict) -> TableSpec:
         delta_threshold=int(entry.get("delta_threshold", 8)),
         view_group_by=list(entry.get("group_by", [])),
         view_aggs=[dict(a) for a in entry.get("aggs", [])],
+        dims=[dict(d) for d in entry.get("dims", [])],
     )
     spec.validate()
     return spec
@@ -299,6 +314,7 @@ class MultiTableLake:
                 emit_changelog=s.emit_changelog,
                 state_mode=s.state_mode,
                 delta_threshold=s.delta_threshold,
+                dims=s.dims,
             )
         return self._engines[name]
 

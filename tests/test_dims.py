@@ -1,0 +1,222 @@
+"""Named multi-dim enrichment with as-of version picks (engine/enrich.py
+DimSpec surface): N broadcast dims per TableSpec, hash-versioned +
+re-broadcast on change, date-versioned dims joined as-of the event time.
+
+Reference semantics: VAT picks the latest ``updated_at <= execution_date``
+per country (``include/vat/create_country_vat_table.sql:4-15``,
+``insert_user_history.sql:71-89``); currency rates join on (date_, currency)
+(``store_itunes_process_data.sql:16-20``)."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_ray.engine import ReplayEngine
+from etl_ray.engine.enrich import DimSpec, load_dim_payload
+from etl_ray.engine.export import final_state
+from etl_ray.wal import EXT_TO_LANG, WalInfo
+
+# every lang the generator can emit (plus the unknown fallback) — a dim
+# covering the full key universe keeps the oracle's LEFT JOIN total
+_ALL_LANGS = sorted(set(EXT_TO_LANG.values()) | {"unknown"})
+
+
+def _wal_ts_range(wal):
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    lo, hi = duckdb.sql(
+        f"SELECT MIN(commit_ts), MAX(commit_ts) "
+        f"FROM read_parquet([{files}], union_by_name=true)"
+    ).fetchone()
+    return lo, hi
+
+
+def _write_dims(tmp_path, wal):
+    """A plain dim (lang → ecosystem) and a date-versioned dim (lang →
+    rate, two versions: v1 from the epoch, v2 from the WAL's midpoint)."""
+    lo, hi = _wal_ts_range(wal)
+    mid = lo + (hi - lo) / 2
+    langs = _ALL_LANGS
+    eco_path = str(tmp_path / "eco.json")
+    with open(eco_path, "w") as f:
+        json.dump([{"lang": l, "eco": f"eco-{l[:2]}"} for l in langs], f)
+    rate_path = str(tmp_path / "rates.parquet")
+    rows = []
+    for l in langs:
+        rows.append({"lang": l, "valid_from": pd.Timestamp("1970-01-01"),
+                     "rate": 1.0})
+        rows.append({"lang": l, "valid_from": pd.Timestamp(mid), "rate": 2.0})
+    df = pd.DataFrame(rows)
+    df["valid_from"] = df["valid_from"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), rate_path)
+    return eco_path, rate_path, mid
+
+
+def test_multi_dim_asof_join_matches_oracle(ray_session, small_wal, tmp_path):
+    """Final state carries each winner row's enrichment evaluated at ITS
+    commit time: plain dim by lookup, versioned dim by as-of pick — both
+    vs a DuckDB join over the WAL winners."""
+    eco_path, rate_path, _ = _write_dims(tmp_path, small_wal)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=8, concurrency=2, aggregate=False,
+        dims=[
+            {"name": "eco", "path": eco_path, "key": "lang"},
+            {"name": "fx", "path": rate_path, "key": "lang", "as_of": "commit_ts"},
+        ],
+    )
+    eng.replay_all(segments_per_tick=2)
+    df = (
+        final_state(lake)
+        .to_pandas()[["repo", "path", "lang", "eco_eco", "fx_rate"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    files = ", ".join(f"'{f}'" for f in small_wal.segment_files)
+    exp = duckdb.sql(f"""
+        WITH winners AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path
+                                             ORDER BY lsn DESC) AS rn
+                FROM read_parquet([{files}], union_by_name=true)
+            ) WHERE rn = 1 AND op <> 'delete'
+        ),
+        eco AS (SELECT * FROM read_json_auto('{eco_path}')),
+        pick AS (
+            SELECT w.repo, w.path, w.lang, e.eco AS eco_eco, r.rate AS fx_rate,
+                   row_number() OVER (PARTITION BY w.repo, w.path
+                                      ORDER BY r.valid_from DESC) AS rn2
+            FROM winners w
+            LEFT JOIN eco e ON e.lang = w.lang
+            LEFT JOIN read_parquet('{rate_path}') r
+              ON r.lang = w.lang AND r.valid_from <= w.commit_ts
+        )
+        SELECT repo, path, lang, eco_eco, fx_rate FROM pick
+        WHERE rn2 = 1 ORDER BY repo, path
+    """).df()
+    pd.testing.assert_frame_equal(df, exp, check_dtype=False)
+    # lineage: every tick manifest records all dim versions
+    from etl_ray.engine.lineage import LakeLineage
+
+    for tk in LakeLineage(lake).all_ticks():
+        assert set(tk["dim_versions"]) == {"eco", "fx"}
+
+
+def test_dim_update_mid_follow(ray_session, small_wal, tmp_path):
+    """A currency-like dim updated MID-FOLLOW: new ticks join the new
+    version while rows committed earlier keep the version they were applied
+    with (LWW — a dim change never rewrites state)."""
+    langs = _ALL_LANGS
+    dim_path = str(tmp_path / "eco.json")
+    with open(dim_path, "w") as f:
+        json.dump([{"lang": l, "eco": "v1"} for l in langs], f)
+
+    view_dir = str(tmp_path / "walview")
+    os.makedirs(view_dir, exist_ok=True)
+
+    def manifest_through(k: int) -> None:
+        WalInfo(
+            wal_dir=view_dir,
+            n_events=sum(s["rows"] for s in small_wal.segments[:k]),
+            n_base_events=small_wal.n_base_events,
+            evolve_lsn=small_wal.evolve_lsn,
+            segments=small_wal.segments[:k],
+            params=None,
+        ).save()
+
+    total = len(small_wal.segments)
+    half = total // 2
+    manifest_through(half)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        view_dir, lake, num_buckets=8, concurrency=2, aggregate=False,
+        dims=[{"name": "eco", "path": dim_path, "key": "lang"}],
+    )
+    results: list = []
+
+    def run():
+        results.extend(
+            eng.follow(poll_interval_s=0.2, idle_timeout_s=6.0)
+        )
+
+    t = threading.Thread(target=run)
+    t.start()
+    from etl_ray.engine.lineage import LakeLineage
+
+    deadline = time.monotonic() + 60
+    lin = LakeLineage(lake)
+    while time.monotonic() < deadline and lin.last_tick() is None:
+        time.sleep(0.2)
+    assert lin.last_tick() is not None
+    with open(dim_path, "w") as f:
+        json.dump([{"lang": l, "eco": "v2"} for l in langs], f)
+    for k in range(half + 1, total + 1):
+        time.sleep(0.7)
+        manifest_through(k)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert sum(r.segments for r in results) == total
+
+    vers = {
+        tk["dim_versions"]["eco"] for tk in LakeLineage(lake).all_ticks()
+    }
+    assert len(vers) == 2, f"expected both dim versions in lineage: {vers}"
+    df = final_state(lake).to_pandas()
+    assert set(df["eco_eco"]) == {"v1", "v2"}, (
+        "post-update ticks must join the new dim version while earlier "
+        "committed rows keep the old one"
+    )
+
+
+def test_dim_spec_validation(tmp_path):
+    with pytest.raises(ValueError, match="unknown dim-config keys"):
+        DimSpec.from_config({"name": "x", "path": "p", "key": "k", "typo": 1})
+    with pytest.raises(ValueError, match="needs 'key'"):
+        DimSpec.from_config({"name": "x", "path": "p"})
+    # duplicate keys without valid_from versions refuse to load
+    p = str(tmp_path / "dup.json")
+    with open(p, "w") as f:
+        json.dump([{"lang": "py", "v": 1}, {"lang": "py", "v": 2}], f)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        load_dim_payload(DimSpec(name="d", path=p, key="lang"))
+    # versioned dim without a configured as_of column refuses to load
+    p2 = str(tmp_path / "ver.json")
+    with open(p2, "w") as f:
+        json.dump([{"lang": "py", "valid_from": "2024-01-01", "v": 1}], f)
+    with pytest.raises(ValueError, match="no as_of"):
+        load_dim_payload(DimSpec(name="d", path=p2, key="lang"))
+    with pytest.raises(ValueError, match="duplicate dim names"):
+        ReplayEngine(
+            "/tmp/nowal", "/tmp/nolake",
+            dims=[{"name": "a", "path": p, "key": "k"},
+                  {"name": "a", "path": p, "key": "k"}],
+        )
+
+
+def test_dims_via_table_config(tmp_path):
+    from etl_ray.engine.tables import TableSpec, spec_from_config
+
+    s = spec_from_config(
+        {
+            "name": "t", "wal": "/w",
+            "dims": [{"name": "eco", "path": "/d.json", "key": "lang"}],
+        }
+    )
+    assert s.dims == [{"name": "eco", "path": "/d.json", "key": "lang"}]
+    with pytest.raises(ValueError, match="unknown dim-config keys"):
+        spec_from_config(
+            {"name": "t", "wal": "/w", "dims": [{"name": "e", "pathh": "x"}]}
+        )
+    with pytest.raises(ValueError, match="cannot have enrichment dims"):
+        TableSpec(
+            name="v", view="repo_stats", source="t",
+            dims=[{"name": "e", "path": "p", "key": "k"}],
+        ).validate()
