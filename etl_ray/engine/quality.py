@@ -256,48 +256,48 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
         state_mans = {m["bucket"]: dict(m) for m in ctx.new_manifests}
 
         def compare(bucket: int, feed_files, feed_rgs, state_man) -> dict:
+            keys3 = ["repo", "path", "lsn"]
             if feed_files:
                 t = pa.concat_tables(
                     pq.ParquetFile(f).read_row_group(rg)
                     for f, rg in zip(feed_files, feed_rgs)
                 )
                 t = last_writer(t)  # fold across fragments (max lsn per key)
-                live = t.filter(
+                folded = t.filter(
                     pc.invert(
                         pc.is_in(
                             t["change_op"], value_set=pa.array(["delete", "erase"])
                         )
                     )
-                )
-                folded = set(
-                    zip(
-                        live["repo"].to_pylist(),
-                        live["path"].to_pylist(),
-                        live["lsn"].to_pylist(),
-                    )
-                )
+                ).select(keys3)
             else:
-                folded = set()
+                folded = None
             if state_man:
                 from .apply import read_bucket_state
 
                 s = read_bucket_state(
                     state_man, columns=["repo", "path", "lsn", "deleted"]
                 )
-                s = s.filter(pc.invert(s["deleted"]))
-                state = set(
-                    zip(
-                        s["repo"].to_pylist(),
-                        s["path"].to_pylist(),
-                        s["lsn"].to_pylist(),
-                    )
-                )
+                state = s.filter(pc.invert(s["deleted"])).select(keys3)
             else:
-                state = set()
+                state = None
+
+            def anti(left, right) -> int:
+                # vectorized symmetric-difference side: Arrow hash anti-join
+                # on the full (repo, path, lsn) key (both sides are unique
+                # per (repo, path) after the folds above)
+                if left is None or left.num_rows == 0:
+                    return 0
+                if right is None or right.num_rows == 0:
+                    return left.num_rows
+                return left.join(
+                    right, keys=keys3, join_type="left anti"
+                ).num_rows
+
             return {
                 "bucket": bucket,
-                "feed_only": len(folded - state),
-                "state_only": len(state - folded),
+                "feed_only": anti(folded, state),
+                "state_only": anti(state, folded),
             }
 
         task = ray.remote(num_cpus=1)(compare)
@@ -332,6 +332,97 @@ def check_feed_consistency(ctx: TickContext) -> list[dict]:
 
 
 #: manifest-only invariants — O(buckets) dict lookups, effectively free;
+def make_reconciliation_check(
+    name: str,
+    truth_path: str,
+    *,
+    rel_tolerance: float,
+    key_cols: tuple[str, ...] = ("day",),
+    value_col: str = "events",
+    agg_table: str = "repo_daily_agg",
+    compute=None,
+    mandatory: bool = False,
+    max_violations: int = 50,
+) -> CheckSpec:
+    """Tolerance reconciliation of an engine aggregate against an external
+    truth table — the reference's store tests: daily revenue must agree
+    with the store report within 5% (2% over 5 days), optional severity
+    (``tests/store/itunes/optional/store_itunes.yaml:1,28``).
+
+    Engine side: ``SUM(value_col) GROUP BY key_cols`` over the committed
+    daily aggregate ``agg_table`` (or a custom ``compute(ctx) -> DataFrame``
+    with ``[*key_cols, value_col]``). Truth side: a parquet/csv/json side
+    table with the same columns. A key where
+    ``|engine − truth| > rel_tolerance · |truth|`` — or present on only one
+    side — is a violation row. Default severity is optional (alert-only),
+    matching the reference; pass ``mandatory=True`` to gate commits."""
+
+    keys = list(key_cols)
+
+    def _read_truth():
+        import pandas as pd
+
+        if truth_path.endswith(".csv"):
+            return pd.read_csv(truth_path)
+        if truth_path.endswith(".json"):
+            return pd.read_json(truth_path)
+        import pyarrow.parquet as pq
+
+        return pq.read_table(truth_path).to_pandas()
+
+    def check(ctx: TickContext) -> list[dict]:
+        if compute is not None:
+            eng = compute(ctx)
+        else:
+            from .aggregates import read_agg
+
+            t = read_agg(ctx.lineage, agg_table)
+            if t.num_rows == 0:
+                return []  # nothing committed yet to reconcile
+            eng = (
+                t.to_pandas()
+                .groupby(keys, as_index=False)[value_col]
+                .sum()
+            )
+        truth = _read_truth()
+        missing = [c for c in (*keys, value_col) if c not in truth.columns]
+        if missing:
+            raise ValueError(
+                f"reconciliation {name!r}: truth table {truth_path} lacks "
+                f"columns {missing}"
+            )
+        m = eng.merge(
+            truth[[*keys, value_col]],
+            on=keys,
+            how="outer",
+            suffixes=("", "_truth"),
+            indicator=True,
+        )
+        out: list[dict] = []
+        tcol = f"{value_col}_truth"
+        for _, r in m.iterrows():
+            rec = {k: r[k] for k in keys}
+            if r["_merge"] == "left_only":
+                rec.update(side="engine_only", value=float(r[value_col]))
+            elif r["_merge"] == "right_only":
+                rec.update(side="truth_only", value=float(r[tcol]))
+            else:
+                v, vt = float(r[value_col]), float(r[tcol])
+                err = abs(v - vt) / abs(vt) if vt else (0.0 if v == 0 else float("inf"))
+                if err <= rel_tolerance:
+                    continue
+                rec.update(
+                    engine=v, truth=vt, rel_err=round(err, 6),
+                    tolerance=rel_tolerance,
+                )
+            out.append(rec)
+            if len(out) >= max_violations:
+                break
+        return out
+
+    return CheckSpec(name=name, check=check, mandatory=mandatory)
+
+
 #: the engine default
 CHEAP_CHECKS: list[CheckSpec] = [
     CheckSpec("no_key_disappears", check_no_key_disappears, mandatory=True),

@@ -215,3 +215,66 @@ def test_feed_audit_is_distributed(ray_session, small_wal, tmp_path, monkeypatch
     state_rows = sum(m["rows"] for m in mans)
     # descriptor grain only: far below the corpus, bounded by tasks × buckets
     assert max(seen) < state_rows / 2, (seen, state_rows)
+
+
+def test_reconciliation_check_tolerance(ray_session, small_wal, tmp_path):
+    """Built-in tolerance reconciliation vs an external truth table
+    (store_itunes.yaml semantics): a seeded 3% drift passes at 5% and
+    fails at 2%; a day missing from either side is always a violation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine import ReplayEngine
+    from etl_ray.engine.aggregates import read_agg
+    from etl_ray.engine.lineage import LakeLineage
+    from etl_ray.engine.quality import TickContext, make_reconciliation_check
+
+    lake = str(tmp_path / "lake")
+    ReplayEngine(small_wal.wal_dir, lake, num_buckets=8, concurrency=2).replay_all()
+    lin = LakeLineage(lake)
+    eng_days = (
+        read_agg(lin, "repo_daily_agg")
+        .to_pandas()
+        .groupby("day", as_index=False)["events"]
+        .sum()
+    )
+    assert len(eng_days) > 1
+
+    truth = eng_days.copy()
+    truth["events"] = truth["events"] * 1.03  # seeded 3% drift
+    truth_path = str(tmp_path / "truth.parquet")
+    pq.write_table(pa.Table.from_pandas(truth, preserve_index=False), truth_path)
+
+    ctx = TickContext(
+        lineage=lin, tick=lin.last_tick()["tick"], events=0, segments=[],
+        new_manifests=[], prev_manifests={}, prev_tick=lin.last_tick(),
+    )
+    ok = make_reconciliation_check("store_recon", truth_path, rel_tolerance=0.05)
+    assert ok.check(ctx) == []
+    assert not ok.mandatory, "reference store tests are optional severity"
+
+    tight = make_reconciliation_check(
+        "store_recon", truth_path, rel_tolerance=0.02, mandatory=True
+    )
+    v = tight.check(ctx)
+    assert len(v) == len(eng_days), f"every drifted day must violate at 2%: {v[:2]}"
+    assert all(abs(r["rel_err"] - 0.03 / 1.03) < 1e-6 for r in v)
+    assert tight.mandatory
+
+    # a day on only one side is a violation regardless of tolerance
+    lop_path = str(tmp_path / "truth2.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(truth.iloc[1:], preserve_index=False), lop_path
+    )
+    v2 = make_reconciliation_check(
+        "store_recon", lop_path, rel_tolerance=0.05
+    ).check(ctx)
+    assert [r for r in v2 if r.get("side") == "engine_only"]
+
+    # truth table lacking the declared columns errors loudly
+    bad_path = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"day": ["2024-01-01"]}), bad_path)
+    with pytest.raises(ValueError, match="lacks columns"):
+        make_reconciliation_check(
+            "store_recon", bad_path, rel_tolerance=0.05
+        ).check(ctx)
