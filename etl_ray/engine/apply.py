@@ -54,8 +54,24 @@ MANIFEST_SCHEMA = pa.schema(
         ("bytes_written", pa.int64()),  # state+delta+fold bytes this apply
         ("fold_file", pa.string()),  # LSN-tail sidecar when folds are active
         ("fold_through_lsn", pa.int64()),  # max WAL lsn folded (fold horizon)
+        # unified bucket schema (base64 IPC): downstream driver sweeps
+        # (view refresh, export schema discovery) read it from the manifest
+        # instead of one parquet footer per chain file per refresh
+        ("schema_b64", pa.string()),
     ]
 )
+
+
+def schema_b64(schema: pa.Schema) -> str:
+    import base64
+
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_b64(payload: str) -> pa.Schema:
+    import base64
+
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(payload)))
 
 
 def fold_tail_path(state_path: str) -> str:
@@ -424,6 +440,7 @@ class MergeApplier:
                 "bytes_written": pa.array([bytes_written], pa.int64()),
                 "fold_file": pa.array([fold_file], pa.string()),
                 "fold_through_lsn": pa.array([fold_hi], pa.int64()),
+                "schema_b64": pa.array([schema_b64(merged.schema)], pa.string()),
             }
         )
 
@@ -576,4 +593,5 @@ class WarmApplierActor:
             "bytes_written": int(bytes_written),
             "fold_file": fold_file,
             "fold_through_lsn": int(fold_hi),
+            "schema_b64": schema_b64(merged.schema),
         }

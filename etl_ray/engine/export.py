@@ -108,16 +108,30 @@ def final_state(
     if not files:
         raise FileNotFoundError(f"no committed bucket manifests under {lake_dir}")
 
-    # schema evolution: old buckets may predate new columns — unify + align
+    # schema evolution: old buckets may predate new columns — unify + align.
+    # Schemas come from the bucket manifests (embedded by the appliers) when
+    # available; legacy/maintenance manifests fall back to footer reads.
     import pyarrow.parquet as pq
+
+    from .apply import schema_from_b64
+
+    def _bucket_schemas(mans, fallback_files) -> list[pa.Schema]:
+        out = []
+        for m, ff in zip(mans, fallback_files):
+            if m.get("schema_b64"):
+                out.append(schema_from_b64(m["schema_b64"]))
+            else:
+                out.extend(pq.read_schema(f) for f in ff)
+        return out
 
     if delta_mode:
         # base+delta lake: one task per bucket does the merge-on-read fold
         # (same parallelism as the appliers — the engine's own shuffle grain)
         from .apply import bucket_files, read_bucket_state
 
-        all_files = [f for m in manifests for f in bucket_files(m)]
-        target = unify_schemas([pq.read_schema(f) for f in all_files])
+        target = unify_schemas(
+            _bucket_schemas(manifests, [bucket_files(m) for m in manifests])
+        )
 
         def fold_bucket(batch: pa.Table) -> pa.Table:
             outs = [
@@ -130,7 +144,9 @@ def final_state(
             manifests, override_num_blocks=len(manifests)
         ).map_batches(fold_bucket, batch_format="pyarrow", batch_size=None)
     else:
-        target = unify_schemas([pq.read_schema(f) for f in files])
+        target = unify_schemas(
+            _bucket_schemas(manifests, [[f] for f in files])
+        )
         # partitioning=None: the bucket layout (buckets/b=00017/...) must NOT
         # be hive-inferred into a phantom `b` partition column on every export
         ds = ray.data.read_parquet(files, partitioning=None)

@@ -850,18 +850,24 @@ def refresh_agg_view(
             b = int(os.path.basename(f)[2:-8])
             if b not in live_buckets:
                 os.remove(f)
-        # unified upstream schema (footer metadata only — the same
-        # driver-side unify the export path does): validates the view's
-        # columns against the table and pins every bucket's partial to ONE
-        # type per column despite schema evolution
+        # unified upstream schema: preferred source is the schema each
+        # applier embedded in its bucket manifest (one JSON field per
+        # bucket, no file IO); buckets whose manifest predates the field
+        # (bootstrap/rebucket/legacy lakes) fall back to parquet footer
+        # reads. Validates the view's columns against the table and pins
+        # every bucket's partial to ONE type per column despite evolution.
         import pyarrow.parquet as pq
 
-        from .apply import bucket_files
+        from .apply import bucket_files, schema_from_b64
         from .schema_evo import unify_schemas
 
-        upstream = unify_schemas(
-            [pq.read_schema(f) for m in manifests for f in bucket_files(m)]
-        )
+        schemas = []
+        for m in manifests:
+            if m.get("schema_b64"):
+                schemas.append(schema_from_b64(m["schema_b64"]))
+            else:
+                schemas.extend(pq.read_schema(f) for f in bucket_files(m))
+        upstream = unify_schemas(schemas)
         need = list(
             dict.fromkeys(
                 [
