@@ -84,11 +84,36 @@ def bucket_files(man: dict) -> list[str]:
     return [man["data_file"], *(man.get("delta_files") or [])]
 
 
+def chain_cache_path(files: list[str]) -> str:
+    """The fold-cache file for one exact delta chain: keyed by the chain's
+    file list + sizes, so ANY chain change (appended delta, compaction,
+    erase rewrite) keys a different path and the stale cache is simply
+    never read again (``LakeLineage.gc`` sweeps it)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        h.update(b"\0")
+        h.update(str(os.path.getsize(f)).encode())
+        h.update(b"\0")
+    return os.path.join(
+        os.path.dirname(files[0]), f"foldcache-{h.hexdigest()[:16]}.parquet"
+    )
+
+
 def read_bucket_state(man: dict, columns: list[str] | None = None) -> pa.Table:
     """Merge-on-read of one bucket: base state + appended tick deltas,
     folded with the engine's own LWW kernel (later delta files win ties by
     physical order — the list is tick-ordered). The single-file fast path
     costs exactly what the old direct read did.
+
+    Bounded read amplification: the folded result of a multi-file chain is
+    cached next to the base, keyed by the exact chain tuple — a full read
+    (export) pays the fold once and every later reader of the SAME chain
+    (verify, audit, view refresh) reads one file. The cache is written only
+    by full reads (they have every column), read by any, and regenerating
+    it is always safe (pure function of immutable chain files).
 
     ``columns``: projection applied AFTER the fold (keys + lsn are read
     regardless — the fold needs them); missing columns come back null."""
@@ -102,15 +127,39 @@ def read_bucket_state(man: dict, columns: list[str] | None = None) -> pa.Table:
         t = pf.read(columns=cols)
         pf.close()
     else:
-        tabs = []
-        for f in files:
-            pf = pq.ParquetFile(f)
-            cols = [c for c in need if c in pf.schema_arrow.names] if need else None
-            tabs.append(pf.read(columns=cols))
-            pf.close()
-        uni = unify_schemas([t.schema for t in tabs])
-        t = pa.concat_tables([align_to(x, uni).select(uni.names) for x in tabs])
-        t = last_writer(t, keys=KEYS).sort_by([(k, "ascending") for k in KEYS])
+        cpath = chain_cache_path(files)
+        t = None
+        if os.path.exists(cpath):
+            try:
+                pf = pq.ParquetFile(cpath)
+                cols = (
+                    [c for c in need if c in pf.schema_arrow.names]
+                    if need
+                    else None
+                )
+                t = pf.read(columns=cols)
+                pf.close()
+            except (OSError, pa.ArrowInvalid):
+                t = None  # raced a GC / torn file: fold from the chain
+        if t is None:
+            tabs = []
+            for f in files:
+                pf = pq.ParquetFile(f)
+                cols = [c for c in need if c in pf.schema_arrow.names] if need else None
+                tabs.append(pf.read(columns=cols))
+                pf.close()
+            uni = unify_schemas([t.schema for t in tabs])
+            t = pa.concat_tables([align_to(x, uni).select(uni.names) for x in tabs])
+            t = last_writer(t, keys=KEYS).sort_by([(k, "ascending") for k in KEYS])
+            if columns is None:
+                # full fold: publish the cache (atomic; idempotent — the
+                # fold is deterministic, concurrent writers agree)
+                tmp = cpath + f".{os.getpid()}.tmp"
+                try:
+                    pq.write_table(t, tmp, compression="zstd")
+                    os.replace(tmp, cpath)
+                except OSError:
+                    pass  # cache is an optimization, never a failure
     if columns is not None:
         out = {}
         for c in columns:

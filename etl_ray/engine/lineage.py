@@ -250,6 +250,26 @@ class LakeLineage:
         for p in glob.glob(os.path.join(self.buckets_dir, "b=*", "*.tmp")):
             os.remove(p)
             removed += 1
+        # fold caches (apply.read_bucket_state): keep only the cache keyed
+        # by each bucket's CURRENT chain tuple; anything else is a stale
+        # key (chain advanced / compacted) and regenerates on demand
+        from .apply import bucket_files as _bfiles
+        from .apply import chain_cache_path as _ccp
+
+        valid_caches = set()
+        for m in self.all_bucket_manifests():
+            bf = _bfiles(m)
+            if len(bf) > 1:
+                try:
+                    valid_caches.add(_ccp(bf))
+                except OSError:
+                    pass
+        for p in glob.glob(
+            os.path.join(self.buckets_dir, "b=*", "foldcache-*.parquet")
+        ):
+            if p not in valid_caches:
+                os.remove(p)
+                removed += 1
         return removed
 
     # -- narrow agg log (per-day projection of the event stream) --------------
