@@ -336,6 +336,12 @@ def main(argv: list[str] | None = None) -> int:
     qr.add_argument("--lake", required=True)
     qr.add_argument("--out", required=True)
     qr.add_argument("--tick", type=int, default=None, help="one tick only")
+    qr.add_argument(
+        "--table",
+        default=None,
+        help="multi-table lakes: export one logical table's quarantine "
+        "(lake/tables/<name>)",
+    )
 
     tb = sub.add_parser(
         "tables-replay",
@@ -363,6 +369,16 @@ def main(argv: list[str] | None = None) -> int:
     ts = sub.add_parser("tables-status", help="per-table lineage of a multi-table lake")
     ts.add_argument("--lake", required=True)
     ts.add_argument("--config", required=True)
+    ts.add_argument(
+        "--events",
+        type=int,
+        nargs="?",
+        const=50,
+        default=None,
+        metavar="N",
+        help="also list each table's last N ops/alert events plus the "
+        "lake-level trail (deadline breaches land there)",
+    )
 
     te = sub.add_parser(
         "tables-erase",
@@ -562,7 +578,19 @@ def main(argv: list[str] | None = None) -> int:
             from etl_ray.engine.tables import MultiTableLake, load_config
 
             lake = MultiTableLake(args.lake, load_config(args.config))
-            print(json.dumps(lake.status()))
+            out = lake.status()
+            if args.events is not None:
+                from etl_ray.engine.alerts import read_events
+
+                for s in lake.specs:
+                    out[s.name]["events"] = read_events(
+                        lake.table_dir(s.name), last=args.events
+                    )
+                # lake-level trail: multi-table deadline breaches emit here
+                out["_lake"] = {
+                    "events": read_events(args.lake, last=args.events)
+                }
+            print(json.dumps(out))
         elif args.cmd == "tables-erase":
             from etl_ray.engine.tables import MultiTableLake, load_config
 
@@ -765,14 +793,20 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(skew_report(args.lake, top_k=args.top)))
         elif args.cmd == "quarantine":
             import glob as _g
+            import re as _re
 
             import pyarrow.parquet as _pq
 
+            qlake = args.lake
+            if args.table:
+                if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}", args.table):
+                    p.error(f"bad table name {args.table!r}")
+                qlake = os.path.join(args.lake, "tables", args.table)
             pat = (
                 f"tick-{args.tick:06d}" if args.tick is not None else "tick-*"
             )
             files = sorted(
-                _g.glob(os.path.join(args.lake, "_quarantine", pat, "*.parquet"))
+                _g.glob(os.path.join(qlake, "_quarantine", pat, "*.parquet"))
             )
             n = 0
             if files:

@@ -653,3 +653,62 @@ def test_table_name_and_config_validation(tmp_path):
     assert s.concurrency == (2, 6)
     s = spec_from_config({"name": "t", "wal": "/w", "concurrency": 4})
     assert s.concurrency == 4
+
+
+def test_tables_cli_quarantine_and_events(ray_session, tmp_path):
+    """Multi-table ops parity: per-table quarantine export and per-table
+    status --events through the tables-* CLI (in-process main())."""
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_ray.__main__ import main
+    from etl_ray.wal import generate_wal
+
+    wal = generate_wal(
+        str(tmp_path / "wal"), n_events=8000, n_repos=8, seed=11,
+        malform_rate=0.05,
+    )
+    cfgp = tmp_path / "tables.json"
+    cfgp.write_text(
+        json.dumps({"tables": [{"name": "t1", "wal": wal.wal_dir, "buckets": 4}]})
+    )
+    lake = MultiTableLake(str(tmp_path / "ml"), load_config(str(cfgp)))
+    lake.replay_all()
+    assert LakeLineage(lake.table_dir("t1")).last_tick()["quarantined_rows"] > 0
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "quarantine", "--lake", str(tmp_path / "ml"), "--table", "t1",
+                "--out", str(tmp_path / "q"),
+            ]
+        )
+    assert not rc
+    res = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert res["rows"] > 0
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(str(tmp_path / "q"))
+    assert "reason" in qt.schema.names and qt.num_rows == res["rows"]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(
+            [
+                "tables-status", "--lake", str(tmp_path / "ml"),
+                "--config", str(cfgp), "--events", "10",
+            ]
+        )
+    assert not rc
+    st = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "events" in st["t1"] and isinstance(st["t1"]["events"], list)
+    assert "events" in st["_lake"]
+
+    # path-escape guard on --table
+    buf = io.StringIO()
+    import contextlib
+
+    with pytest.raises(SystemExit), redirect_stdout(buf), contextlib.redirect_stderr(io.StringIO()):
+        main(["quarantine", "--lake", str(tmp_path / "ml"),
+              "--table", "../evil", "--out", str(tmp_path / "q2")])
