@@ -24,7 +24,16 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    # strip the file's pandas schema metadata: metadata dicts make block
+    # schemas unhashable, so every downstream unify (shuffle reduce,
+    # multi-block batch formation) logs a warning per merge. Zero-copy,
+    # metadata-only, fused with the next map stage.
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def read_arrow(sf_dir: str, table: str, columns: list[str] | None = None) -> pa.Table:

@@ -158,7 +158,11 @@ def sessionize(sf_dir: str) -> pd.DataFrame:
         )
         out.insert(0, "user_id", g["user_id"].iloc[0])
         out["duration_us"] = out["end_us"] - out["start_us"]
-        return out
+        # metadata-free Arrow out: the pandas schema metadata dict makes
+        # block schemas unhashable and Ray's unify logs a warning per block
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     out = ds.groupby("user_id").map_groups(build_sessions, batch_format="pandas")
     df = round_cols(out.to_pandas(), {"total_value": 6})
