@@ -74,6 +74,20 @@ def schema_from_b64(payload: str) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(payload)))
 
 
+def bucket_schemas(manifests: list[dict]) -> list[pa.Schema]:
+    """Inputs for a unified-schema sweep over bucket manifests: the schema
+    each applier embedded in its manifest when present (no file IO), else
+    one parquet footer read per chain file (bootstrap/rebucket/as-of/legacy
+    manifests)."""
+    out: list[pa.Schema] = []
+    for m in manifests:
+        if m.get("schema_b64"):
+            out.append(schema_from_b64(m["schema_b64"]))
+        else:
+            out.extend(pq.read_schema(f) for f in bucket_files(m))
+    return out
+
+
 def fold_tail_path(state_path: str) -> str:
     return state_path[: -len(".parquet")] + ".fold.parquet"
 
@@ -102,18 +116,41 @@ def chain_cache_path(files: list[str]) -> str:
     )
 
 
-def read_bucket_state(man: dict, columns: list[str] | None = None) -> pa.Table:
+def _current_chain(man: dict) -> tuple | None:
+    """The bucket's chain per its CURRENT committed manifest, re-read from
+    disk (cache-publish revalidation). None if unreadable/absent."""
+    import json
+
+    bucket_dir = os.path.dirname(man["data_file"])
+    lake_dir = os.path.dirname(os.path.dirname(bucket_dir))
+    p = os.path.join(lake_dir, "_manifests", f"bucket-{int(man['bucket']):05d}.json")
+    try:
+        with open(p) as f:
+            cur = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return tuple(bucket_files(cur))
+
+
+def read_bucket_state(
+    man: dict, columns: list[str] | None = None, *, publish_cache: bool = False
+) -> pa.Table:
     """Merge-on-read of one bucket: base state + appended tick deltas,
     folded with the engine's own LWW kernel (later delta files win ties by
     physical order — the list is tick-ordered). The single-file fast path
     costs exactly what the old direct read did.
 
-    Bounded read amplification: the folded result of a multi-file chain is
-    cached next to the base, keyed by the exact chain tuple — a full read
-    (export) pays the fold once and every later reader of the SAME chain
-    (verify, audit, view refresh) reads one file. The cache is written only
-    by full reads (they have every column), read by any, and regenerating
-    it is always safe (pure function of immutable chain files).
+    Bounded read amplification: with ``publish_cache`` (the export path —
+    NOT applier hydration, whose chain advances the same tick and would
+    make the cache instant garbage), a full fold of a multi-file chain is
+    cached next to the base, keyed by the exact chain tuple — export pays
+    the fold once and every later reader of the SAME chain (verify, audit,
+    view refresh) reads one file. Any reader consumes a present cache;
+    regenerating is always safe (pure function of immutable chain files).
+    After writing, the cache is re-validated against the bucket's CURRENT
+    committed manifest and self-deleted on mismatch — a reader racing a
+    maintenance rewrite (GDPR erase!) must not republish rows the
+    maintenance op just scrubbed.
 
     ``columns``: projection applied AFTER the fold (keys + lsn are read
     regardless — the fold needs them); missing columns come back null."""
@@ -151,13 +188,19 @@ def read_bucket_state(man: dict, columns: list[str] | None = None) -> pa.Table:
             uni = unify_schemas([t.schema for t in tabs])
             t = pa.concat_tables([align_to(x, uni).select(uni.names) for x in tabs])
             t = last_writer(t, keys=KEYS).sort_by([(k, "ascending") for k in KEYS])
-            if columns is None:
+            if publish_cache and columns is None:
                 # full fold: publish the cache (atomic; idempotent — the
-                # fold is deterministic, concurrent writers agree)
+                # fold is deterministic, concurrent writers agree), then
+                # re-check the COMMITTED manifest: if the chain moved while
+                # we folded (erase/compact/next tick), delete our write —
+                # either our check sees the new manifest, or the op's
+                # trailing gc runs after its manifest publish and sweeps us
                 tmp = cpath + f".{os.getpid()}.tmp"
                 try:
                     pq.write_table(t, tmp, compression="zstd")
                     os.replace(tmp, cpath)
+                    if _current_chain(man) != tuple(files):
+                        os.remove(cpath)
                 except OSError:
                     pass  # cache is an optimization, never a failure
     if columns is not None:

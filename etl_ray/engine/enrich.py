@@ -115,23 +115,30 @@ class DimSpec:
 VALID_FROM = "valid_from"
 
 
-def load_dim_payload(spec: DimSpec) -> dict:
+def load_dim_payload(spec: DimSpec, raw: bytes | None = None) -> dict:
     """Driver-side load + prep of one dim file (small side — the broadcast
-    pattern). Returns {"frame": pandas DF, "value_cols": [...],
+    pattern). ``raw`` lets the caller pass the exact bytes it just hashed
+    (version/content atomicity under concurrent dim edits). Returns
+    {"frame": pandas DF, "value_cols": [...], "types": {col: pa type},
     "versioned": bool}; versioned frames are pre-sorted by valid_from for
-    the merge_asof."""
+    the merge_asof. ``types`` pins each value column's Arrow type from the
+    FULL dim frame — per-batch inference would let partial key coverage
+    produce float64/null-typed columns that break additive-only schema
+    unification downstream."""
     import json
 
     import pandas as pd
 
+    if raw is None:
+        with open(spec.path, "rb") as f:
+            raw = f.read()
     if spec.path.endswith(".json"):
-        with open(spec.path) as f:
-            rows = json.load(f)
+        rows = json.loads(raw)
         df = pd.DataFrame(rows)
     else:
         import pyarrow.parquet as pq
 
-        df = pq.read_table(spec.path).to_pandas()
+        df = pq.read_table(pa.BufferReader(raw)).to_pandas()
     if spec.key not in df.columns:
         raise ValueError(f"dim {spec.name!r}: key column {spec.key!r} not in {spec.path}")
     versioned = VALID_FROM in df.columns
@@ -150,7 +157,14 @@ def load_dim_payload(spec: DimSpec) -> dict:
     value_cols = [c for c in df.columns if c not in (spec.key, VALID_FROM)]
     if not value_cols:
         raise ValueError(f"dim {spec.name!r} has no value columns")
-    return {"frame": df, "value_cols": value_cols, "versioned": versioned}
+    full = pa.Table.from_pandas(df[value_cols], preserve_index=False)
+    types = {c: full.schema.field(c).type for c in value_cols}
+    return {
+        "frame": df,
+        "value_cols": value_cols,
+        "types": types,
+        "versioned": versioned,
+    }
 
 
 def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
@@ -162,6 +176,7 @@ def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
 
     dim = payload["frame"]
     value_cols = payload["value_cols"]
+    types = payload["types"]
     key = batch[spec.key]
     if isinstance(key, pa.ChunkedArray):
         key = key.combine_chunks()
@@ -188,19 +203,27 @@ def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
         for c in value_cols:
             s = pd.Series([None] * n, dtype=object)
             s.iloc[merged["__i"].to_numpy()] = merged[c].to_numpy()
-            out_cols[c] = pa.array(s, from_pandas=True)
+            out_cols[c] = pa.array(s, type=types[c], from_pandas=True)
     else:
+        # any-typed join key: dictionary-encode as-is (null keys keep null
+        # codes — never conflated with a legitimate ''/0 dim key) and
+        # gather once per value column over the uniques
         lookup = dim.set_index(spec.key)[value_cols]
-        d = pc.dictionary_encode(pc.fill_null(key, ""))
+        d = pc.dictionary_encode(key)
         uniq = d.dictionary.to_pandas()
-        codes = d.indices.to_numpy(zero_copy_only=False)
+        idx = d.indices
+        null_mask = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        codes = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
         sub = lookup.reindex(uniq)
-        out_cols = {
-            c: pa.array(
-                pd.Series(sub[c].to_numpy()[codes]), from_pandas=True
-            )
-            for c in value_cols
-        }
+        out_cols = {}
+        for c in value_cols:
+            vals = pd.Series(sub[c].to_numpy()[codes])
+            arr = pa.array(vals, type=types[c], from_pandas=True)
+            if null_mask.any():
+                arr = pc.if_else(
+                    pa.array(null_mask), pa.scalar(None, types[c]), arr
+                )
+            out_cols[c] = arr
     for c, arr in out_cols.items():
         out_name = f"{spec.name}_{c}"
         i = batch.schema.get_field_index(out_name)

@@ -111,31 +111,22 @@ def final_state(
     # schema evolution: old buckets may predate new columns — unify + align.
     # Schemas come from the bucket manifests (embedded by the appliers) when
     # available; legacy/maintenance manifests fall back to footer reads.
-    import pyarrow.parquet as pq
+    from .apply import bucket_schemas
 
-    from .apply import schema_from_b64
-
-    def _bucket_schemas(mans, fallback_files) -> list[pa.Schema]:
-        out = []
-        for m, ff in zip(mans, fallback_files):
-            if m.get("schema_b64"):
-                out.append(schema_from_b64(m["schema_b64"]))
-            else:
-                out.extend(pq.read_schema(f) for f in ff)
-        return out
-
+    target = unify_schemas(bucket_schemas(manifests))
     if delta_mode:
         # base+delta lake: one task per bucket does the merge-on-read fold
         # (same parallelism as the appliers — the engine's own shuffle grain)
-        from .apply import bucket_files, read_bucket_state
+        from .apply import read_bucket_state
 
-        target = unify_schemas(
-            _bucket_schemas(manifests, [bucket_files(m) for m in manifests])
-        )
+        # live exports publish the per-chain fold cache (later readers of
+        # the same chain reuse it); as-of chains differ from the live
+        # manifest and would be self-invalidated immediately — skip
+        publish = as_of_tick is None
 
         def fold_bucket(batch: pa.Table) -> pa.Table:
             outs = [
-                align_to(read_bucket_state(m), target)
+                align_to(read_bucket_state(m, publish_cache=publish), target)
                 for m in batch.to_pylist()
             ]
             return pa.concat_tables(o.select(target.names) for o in outs)
@@ -144,9 +135,6 @@ def final_state(
             manifests, override_num_blocks=len(manifests)
         ).map_batches(fold_bucket, batch_format="pyarrow", batch_size=None)
     else:
-        target = unify_schemas(
-            _bucket_schemas(manifests, [[f] for f in files])
-        )
         # partitioning=None: the bucket layout (buckets/b=00017/...) must NOT
         # be hive-inferred into a phantom `b` partition column on every export
         ds = ray.data.read_parquet(files, partitioning=None)

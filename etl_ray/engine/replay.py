@@ -203,7 +203,12 @@ class ReplayEngine:
                 raw = f.read()
             ver = hashlib.sha256(raw).hexdigest()[:12]
             if self._dims_versions.get(spec.name) != ver:
-                self._dims_refs[spec.name] = _ray.put(load_dim_payload(spec))
+                # parse the exact bytes hashed — a concurrent dim edit
+                # between hash and a re-read would broadcast new content
+                # under the old version tag (or crash on a torn file)
+                self._dims_refs[spec.name] = _ray.put(
+                    load_dim_payload(spec, raw=raw)
+                )
                 self._dims_versions[spec.name] = ver
             versions[spec.name] = ver
         return versions

@@ -576,7 +576,7 @@ def _publish_view_manifest(view_dir: str, obj: dict) -> None:
 # min/max); a null VALUE at the winning order still wins, decoding to null.
 
 
-def _sortable_u64(col, *, total_order_floats: bool = True):
+def _sortable_u64(col):
     """Arrow numeric/temporal column → (uint64 codes whose unsigned order
     equals the value order, null mask). Strings are rejected: variable-width
     order prefixes would break lexicographic comparability of the packed
@@ -590,10 +590,15 @@ def _sortable_u64(col, *, total_order_floats: bool = True):
     t = col.type
     nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
     sign = np.uint64(1 << 63)
+    if pa.types.is_date32(t):
+        col = pc.cast(col, pa.int32())  # no direct date32→int64 cast kernel
+        t = col.type
+    elif pa.types.is_date64(t):
+        col = pc.cast(col, pa.int64())
+        t = col.type
     if (
         pa.types.is_integer(t)
         or pa.types.is_timestamp(t)
-        or pa.types.is_date(t)
         or pa.types.is_boolean(t)
     ):
         v = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy()
@@ -698,26 +703,22 @@ def _extremal_fields(agg_spec: dict) -> list[dict]:
 def _enc_types_payload(agg_spec: dict, col_types: dict) -> str | None:
     """Value types of the extremal outputs, IPC-serialized (base64) for the
     view manifest — the read side needs the exact Arrow types to decode."""
-    import base64
-
     import pyarrow as pa
+
+    from .apply import schema_b64
 
     ext = _extremal_fields(agg_spec)
     if not ext:
         return None
-    schema = pa.schema([(a["out"], col_types[a["col"]]) for a in ext])
-    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+    return schema_b64(pa.schema([(a["out"], col_types[a["col"]]) for a in ext]))
 
 
 def _enc_types_load(payload: str | None):
-    import base64
-
-    import pyarrow as pa
+    from .apply import schema_from_b64
 
     if not payload:
         return {}
-    schema = pa.ipc.read_schema(pa.BufferReader(base64.b64decode(payload)))
-    return {f.name: f.type for f in schema}
+    return {f.name: f.type for f in schema_from_b64(payload)}
 
 
 def _partial_plan(agg_spec: dict) -> tuple[list, list[tuple[str, str | None, str]]]:
@@ -856,18 +857,10 @@ def refresh_agg_view(
         # (bootstrap/rebucket/legacy lakes) fall back to parquet footer
         # reads. Validates the view's columns against the table and pins
         # every bucket's partial to ONE type per column despite evolution.
-        import pyarrow.parquet as pq
-
-        from .apply import bucket_files, schema_from_b64
+        from .apply import bucket_schemas
         from .schema_evo import unify_schemas
 
-        schemas = []
-        for m in manifests:
-            if m.get("schema_b64"):
-                schemas.append(schema_from_b64(m["schema_b64"]))
-            else:
-                schemas.extend(pq.read_schema(f) for f in bucket_files(m))
-        upstream = unify_schemas(schemas)
+        upstream = unify_schemas(bucket_schemas(manifests))
         need = list(
             dict.fromkeys(
                 [
@@ -899,18 +892,28 @@ def refresh_agg_view(
             )
             for c in need
         }
+        def _packable(t, *, as_value: bool) -> bool:
+            return (
+                pa.types.is_integer(t)
+                or pa.types.is_timestamp(t)
+                or pa.types.is_date(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)
+                or (as_value and (pa.types.is_string(t) or pa.types.is_binary(t)))
+            )
+
         for a in _extremal_fields(agg_spec):
             bt = col_types[a["by"]]
-            if not (
-                pa.types.is_integer(bt)
-                or pa.types.is_timestamp(bt)
-                or pa.types.is_date(bt)
-                or pa.types.is_floating(bt)
-                or pa.types.is_boolean(bt)
-            ):
+            if not _packable(bt, as_value=False):
                 raise ValueError(
                     f"first/last order key {a['by']!r} has unorderable "
                     f"type {bt} (need numeric/temporal)"
+                )
+            vt = col_types[a["col"]]
+            if not _packable(vt, as_value=True):
+                raise ValueError(
+                    f"first/last value column {a['col']!r} has unpackable "
+                    f"type {vt} (need string/binary/numeric/temporal)"
                 )
         new_types_hash = _agg_spec_hash({c: str(t) for c, t in col_types.items()})
         if types_hash not in (None, new_types_hash):

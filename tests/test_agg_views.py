@@ -389,3 +389,51 @@ def test_extreme_pack_roundtrip_kernels():
     # float value roundtrip incl. negatives
     encf = _enc_extreme(pa.array([1, 2, 3]), pa.array([1.5, -2.25, None]))
     assert _dec_extreme(encf, pa.float64()).to_pylist() == [1.5, -2.25, None]
+
+
+def test_extreme_pack_date_order_keys():
+    """Review regression: date32/date64 order keys and values pack/decode
+    (no direct date32→int64 cast kernel exists in Arrow)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.engine.tables import _dec_extreme, _enc_extreme
+
+    d32 = pa.array([10, 3, None], pa.date32())
+    vals = pa.array(["a", "b", "c"], pa.string())
+    enc = _enc_extreme(d32, vals)
+    assert enc.null_count == 1
+    assert _dec_extreme(
+        pa.array([pc.min(enc).as_py()], pa.binary()), pa.string()
+    ).to_pylist() == ["b"], "min date32 order key must win"
+    # date values roundtrip through the int packing
+    enc2 = _enc_extreme(pa.array([1, 2], pa.int64()), d32.slice(0, 2))
+    assert _dec_extreme(enc2, pa.date32()).to_pylist() == [
+        __import__("datetime").date(1970, 1, 11),
+        __import__("datetime").date(1970, 1, 4),
+    ]
+    d64 = pa.array([86_400_000, 0], pa.date64())
+    enc3 = _enc_extreme(d64, pa.array([5, 7], pa.int64()))
+    assert _dec_extreme(
+        pa.array([pc.min(enc3).as_py()], pa.binary()), pa.int64()
+    ).to_pylist() == [7]
+
+
+def test_first_last_rejects_unpackable_value(ray_session, small_wal, tmp_path):
+    """Review regression: an unsupported VALUE type fails at refresh-time
+    validation with a value-column message, not per-bucket in the kernel."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=4),
+            TableSpec(
+                name="v", view="aggregate", source="repo_files",
+                view_group_by=["repo"],
+                view_aggs=[{"out": "f", "col": "meta", "fn": "first", "by": "lsn"}],
+            ),
+        ],
+    )
+    import re
+
+    with pytest.raises(ValueError, match="unpackable|not in the upstream"):
+        lake.replay_all(segments_per_tick=2)

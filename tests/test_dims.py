@@ -220,3 +220,50 @@ def test_dims_via_table_config(tmp_path):
             name="v", view="repo_stats", source="t",
             dims=[{"name": "e", "path": "p", "key": "k"}],
         ).validate()
+
+
+def test_dim_partial_coverage_keeps_types_stable(ray_session, small_wal, tmp_path):
+    """Review regression: a dim covering only SOME keys must not let the
+    value column's type drift per batch (int64 stays int64 with nulls for
+    missed keys — float64/null-typed drift breaks additive-only schema
+    unification at the applier)."""
+    dim_path = str(tmp_path / "partial.json")
+    with open(dim_path, "w") as f:
+        json.dump([{"lang": "python", "tier": 1}, {"lang": "go", "tier": 2}], f)
+    lake = str(tmp_path / "lake")
+    eng = ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=4, concurrency=2, aggregate=False,
+        dims=[{"name": "d", "path": dim_path, "key": "lang"}],
+    )
+    eng.replay_all(segments_per_tick=1)  # many ticks → many chances to drift
+    import pyarrow as pa
+
+    ds = final_state(lake)
+    assert ds.schema().base_schema.field("d_tier").type == pa.int64()
+    df = ds.to_pandas()
+    got = df[df["lang"] == "python"]["d_tier"]
+    assert (got == 1).all()
+    assert df[~df["lang"].isin(["python", "go"])]["d_tier"].isna().all()
+
+
+def test_dim_numeric_join_key(ray_session, small_wal, tmp_path):
+    """Review regression: non-string join keys work (the null-key path
+    must not try to fill a numeric column with '')."""
+    import pyarrow.compute as pc
+
+    files = ", ".join(f"'{f}'" for f in small_wal.segment_files)
+    some_lsns = duckdb.sql(
+        f"SELECT DISTINCT lsn FROM read_parquet([{files}], union_by_name=true) "
+        "ORDER BY lsn LIMIT 3"
+    ).df()["lsn"].tolist()
+    dim_path = str(tmp_path / "bylsn.json")
+    with open(dim_path, "w") as f:
+        json.dump([{"lsn": int(x), "tag": f"t{i}"} for i, x in enumerate(some_lsns)], f)
+    lake = str(tmp_path / "lake")
+    ReplayEngine(
+        small_wal.wal_dir, lake, num_buckets=4, concurrency=2, aggregate=False,
+        dims=[{"name": "m", "path": dim_path, "key": "lsn"}],
+    ).replay_all()
+    df = final_state(lake).to_pandas()
+    tagged = df[df["m_tag"].notna()]
+    assert set(tagged["lsn"]) <= set(some_lsns)
