@@ -118,16 +118,20 @@ def chain_cache_path(files: list[str]) -> str:
 
 def _current_chain(man: dict) -> tuple | None:
     """The bucket's chain per its CURRENT committed manifest, re-read from
-    disk (cache-publish revalidation). None if unreadable/absent."""
-    import json
+    disk (cache-publish revalidation). None if unreadable/absent.
 
+    The manifest path/read goes through ``LakeLineage`` (the one owner of
+    the lake layout) so a layout change cannot silently desync this
+    revalidation from the publisher; only the lake root is derived from
+    ``data_file`` (``<lake>/buckets/b=NNNNN/<file>``), the manifest's sole
+    path fact."""
     bucket_dir = os.path.dirname(man["data_file"])
     lake_dir = os.path.dirname(os.path.dirname(bucket_dir))
-    p = os.path.join(lake_dir, "_manifests", f"bucket-{int(man['bucket']):05d}.json")
     try:
-        with open(p) as f:
-            cur = json.load(f)
+        cur = LakeLineage(lake_dir).bucket_manifest(int(man["bucket"]))
     except (OSError, ValueError):
+        return None
+    if cur is None:
         return None
     return tuple(bucket_files(cur))
 

@@ -211,19 +211,26 @@ def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
         lookup = dim.set_index(spec.key)[value_cols]
         d = pc.dictionary_encode(key)
         uniq = d.dictionary.to_pandas()
-        idx = d.indices
-        null_mask = pc.is_null(idx).to_numpy(zero_copy_only=False)
-        codes = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
-        sub = lookup.reindex(uniq)
         out_cols = {}
-        for c in value_cols:
-            vals = pd.Series(sub[c].to_numpy()[codes])
-            arr = pa.array(vals, type=types[c], from_pandas=True)
-            if null_mask.any():
-                arr = pc.if_else(
-                    pa.array(null_mask), pa.scalar(None, types[c]), arr
-                )
-            out_cols[c] = arr
+        if len(uniq) == 0:
+            # every key in the batch is null (e.g. a delete-only batch):
+            # the dictionary is empty, so gathering would index into a
+            # 0-row frame — the join result is all-null by definition
+            for c in value_cols:
+                out_cols[c] = pa.nulls(batch.num_rows, type=types[c])
+        else:
+            idx = d.indices
+            null_mask = pc.is_null(idx).to_numpy(zero_copy_only=False)
+            codes = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
+            sub = lookup.reindex(uniq)
+            has_nulls = null_mask.any()
+            mask_arr = pa.array(null_mask) if has_nulls else None
+            for c in value_cols:
+                vals = pd.Series(sub[c].to_numpy()[codes])
+                arr = pa.array(vals, type=types[c], from_pandas=True)
+                if has_nulls:
+                    arr = pc.if_else(mask_arr, pa.scalar(None, types[c]), arr)
+                out_cols[c] = arr
     for c, arr in out_cols.items():
         out_name = f"{spec.name}_{c}"
         i = batch.schema.get_field_index(out_name)

@@ -433,7 +433,5 @@ def test_first_last_rejects_unpackable_value(ray_session, small_wal, tmp_path):
             ),
         ],
     )
-    import re
-
     with pytest.raises(ValueError, match="unpackable|not in the upstream"):
         lake.replay_all(segments_per_tick=2)

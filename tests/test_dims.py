@@ -252,10 +252,19 @@ def test_dim_numeric_join_key(ray_session, small_wal, tmp_path):
     import pyarrow.compute as pc
 
     files = ", ".join(f"'{f}'" for f in small_wal.segment_files)
+    # key the dim on lsns that are guaranteed to SURVIVE to final state
+    # (LWW winners, not deletes) so the positive assertion below cannot
+    # pass vacuously on an empty tagged set
     some_lsns = duckdb.sql(
-        f"SELECT DISTINCT lsn FROM read_parquet([{files}], union_by_name=true) "
-        "ORDER BY lsn LIMIT 3"
+        f"""
+        SELECT lsn FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+            FROM read_parquet([{files}], union_by_name=true)
+        ) WHERE rn = 1 AND op <> 'delete' ORDER BY lsn LIMIT 3
+        """
     ).df()["lsn"].tolist()
+    assert len(some_lsns) == 3
     dim_path = str(tmp_path / "bylsn.json")
     with open(dim_path, "w") as f:
         json.dump([{"lsn": int(x), "tag": f"t{i}"} for i, x in enumerate(some_lsns)], f)
@@ -267,3 +276,35 @@ def test_dim_numeric_join_key(ray_session, small_wal, tmp_path):
     df = final_state(lake).to_pandas()
     tagged = df[df["m_tag"].notna()]
     assert set(tagged["lsn"]) <= set(some_lsns)
+    # every keyed winner row actually got its tag (the join really ran)
+    expect = {int(x): f"t{i}" for i, x in enumerate(some_lsns)}
+    got = {int(r.lsn): r.m_tag for r in df[df["lsn"].isin(some_lsns)].itertuples()}
+    assert got == expect
+
+
+def test_dim_all_null_key_batch(tmp_path):
+    """Review regression: a batch whose join-key column is ENTIRELY null
+    (e.g. a delete-only batch with a dim keyed on a payload column) must
+    join to all-null values, not crash — dictionary_encode yields an
+    EMPTY dictionary there and the unique-gather would index a 0-row
+    frame."""
+    from etl_ray.engine.enrich import _apply_dim
+
+    dim_path = str(tmp_path / "d.json")
+    with open(dim_path, "w") as f:
+        json.dump([{"lang": "python", "tier": 1}], f)
+    spec = DimSpec(name="d", path=dim_path, key="lang")
+    payload = load_dim_payload(spec)
+    batch = pa.table(
+        {"lang": pa.nulls(3, pa.string()), "lsn": pa.array([1, 2, 3])}
+    )
+    out = _apply_dim(batch, spec, payload)
+    assert out.num_rows == 3
+    assert out["d_tier"].null_count == 3
+    assert out["d_tier"].type == payload["types"]["tier"]
+    # mixed null/non-null still joins the non-null keys
+    batch2 = pa.table(
+        {"lang": pa.array([None, "python", None]), "lsn": pa.array([1, 2, 3])}
+    )
+    out2 = _apply_dim(batch2, spec, payload)
+    assert out2["d_tier"].to_pylist() == [None, 1, None]
