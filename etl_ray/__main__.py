@@ -799,7 +799,9 @@ def main(argv: list[str] | None = None) -> int:
 
             qlake = args.lake
             if args.table:
-                if not _re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}", args.table):
+                from etl_ray.engine.tables import TABLE_NAME_RE
+
+                if not _re.fullmatch(TABLE_NAME_RE, args.table):
                     p.error(f"bad table name {args.table!r}")
                 qlake = os.path.join(args.lake, "tables", args.table)
             pat = (

@@ -115,6 +115,25 @@ class DimSpec:
 VALID_FROM = "valid_from"
 
 
+def versioned_broadcast(path: str, current_version: str | None, build):
+    """The one copy of the dim hash-version + broadcast-once protocol:
+    read the file bytes, version = sha256 prefix; when the version moved,
+    ``build(raw)`` → ``ray.put`` (once per version — ST6). Returns
+    ``(version, ref)`` with ``ref=None`` when unchanged. ``build`` gets
+    the EXACT bytes that were hashed, so a concurrent edit between hash
+    and re-read can't broadcast new content under the old tag."""
+    import hashlib
+
+    import ray as _ray
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    ver = hashlib.sha256(raw).hexdigest()[:12]
+    if ver == current_version:
+        return ver, None
+    return ver, _ray.put(build(raw))
+
+
 def load_dim_payload(spec: DimSpec, raw: bytes | None = None) -> dict:
     """Driver-side load + prep of one dim file (small side — the broadcast
     pattern). ``raw`` lets the caller pass the exact bytes it just hashed
@@ -157,31 +176,71 @@ def load_dim_payload(spec: DimSpec, raw: bytes | None = None) -> dict:
     value_cols = [c for c in df.columns if c not in (spec.key, VALID_FROM)]
     if not value_cols:
         raise ValueError(f"dim {spec.name!r} has no value columns")
+    if "__pos" in df.columns:
+        raise ValueError(f"dim {spec.name!r}: '__pos' is a reserved column name")
     full = pa.Table.from_pandas(df[value_cols], preserve_index=False)
     types = {c: full.schema.field(c).type for c in value_cols}
-    return {
+    # value columns as Arrow arrays in frame row order: the join gathers
+    # ROW POSITIONS and takes from these, so values never round-trip
+    # through pandas float64 (which silently corrupts int64 above 2^53
+    # the moment any row misses the dim)
+    arrow_cols = {c: full[c].combine_chunks() for c in value_cols}
+    payload = {
         "frame": df,
         "value_cols": value_cols,
         "types": types,
+        "arrow_cols": arrow_cols,
         "versioned": versioned,
     }
+    if not versioned:
+        # prebuilt once on the driver and shipped in the broadcast —
+        # batches pay only the O(uniques) indexer probe
+        payload["key_index"] = pd.Index(df[spec.key])
+    return payload
+
+
+def _gather_dim_values(payload: dict, pos: "np.ndarray") -> dict:
+    """Per-row dim ROW POSITIONS (-1 = no match) → one typed output array
+    per value column, gathered straight from the payload's Arrow arrays —
+    values keep their exact Arrow type end-to-end (no pandas float64
+    NaN-frame round trip)."""
+    value_cols = payload["value_cols"]
+    types = payload["types"]
+    arrow_cols = payload["arrow_cols"]
+    valid = pos >= 0
+    out_cols = {}
+    if not valid.any():
+        for c in value_cols:
+            out_cols[c] = pa.nulls(len(pos), type=types[c])
+        return out_cols
+    safe = np.where(valid, pos, 0)
+    idx_arr = pa.array(safe, type=pa.int64())
+    all_valid = bool(valid.all())
+    vmask = None if all_valid else pa.array(valid)
+    for c in value_cols:
+        taken = pc.take(arrow_cols[c], idx_arr)
+        if not all_valid:
+            taken = pc.if_else(vmask, taken, pa.scalar(None, types[c]))
+        out_cols[c] = taken
+    return out_cols
 
 
 def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
     """Vectorized left join of one broadcast dim onto a batch. Plain dims:
-    lookup over the dictionary-encoded key (one gather per value column).
-    Versioned dims: pandas merge_asof on (key, as_of) — backward pick of
-    the latest valid_from <= event time."""
+    position lookup over the dictionary-encoded key. Versioned dims:
+    pandas merge_asof on (key, as_of) — backward pick of the latest
+    valid_from <= event time. Both paths resolve ROW POSITIONS first and
+    gather values via Arrow take, so value columns never pass through a
+    pandas NaN frame (exactness above 2^53 for int64 riders)."""
     import pandas as pd
 
     dim = payload["frame"]
     value_cols = payload["value_cols"]
-    types = payload["types"]
     key = batch[spec.key]
     if isinstance(key, pa.ChunkedArray):
         key = key.combine_chunks()
+    n = batch.num_rows
     if payload["versioned"]:
-        n = batch.num_rows
         ts = pc.cast(batch[spec.as_of], pa.timestamp("us"))
         left = pd.DataFrame(
             {
@@ -191,46 +250,42 @@ def _apply_dim(batch: pa.Table, spec: DimSpec, payload: dict) -> pa.Table:
             }
         )
         ok = left["__t"].notna() & left[spec.key].notna()
+        right = dim[[spec.key, VALID_FROM]].copy()
+        right["__pos"] = np.arange(len(dim), dtype=np.int64)
         merged = pd.merge_asof(
             left[ok].sort_values("__t", kind="mergesort"),
-            dim,
+            right,
             left_on="__t",
             right_on=VALID_FROM,
             by=spec.key,
             direction="backward",
         )
-        out_cols = {}
-        for c in value_cols:
-            s = pd.Series([None] * n, dtype=object)
-            s.iloc[merged["__i"].to_numpy()] = merged[c].to_numpy()
-            out_cols[c] = pa.array(s, type=types[c], from_pandas=True)
+        # __pos survives the merge as float64+NaN; positions are exact in
+        # float64 (dim row counts are small-side), values are NOT — which
+        # is why only the position rides the pandas merge
+        pos = np.full(n, -1, dtype=np.int64)
+        mpos = merged["__pos"].to_numpy(dtype=np.float64, na_value=-1.0)
+        mi = merged["__i"].to_numpy()
+        pos[mi] = mpos.astype(np.int64)
+        out_cols = _gather_dim_values(payload, pos)
     else:
         # any-typed join key: dictionary-encode as-is (null keys keep null
-        # codes — never conflated with a legitimate ''/0 dim key) and
-        # gather once per value column over the uniques
-        lookup = dim.set_index(spec.key)[value_cols]
+        # codes — never conflated with a legitimate ''/0 dim key), probe
+        # the prebuilt key index once per unique, gather per value column
         d = pc.dictionary_encode(key)
         uniq = d.dictionary.to_pandas()
-        out_cols = {}
         if len(uniq) == 0:
             # every key in the batch is null (e.g. a delete-only batch):
-            # the dictionary is empty, so gathering would index into a
-            # 0-row frame — the join result is all-null by definition
-            for c in value_cols:
-                out_cols[c] = pa.nulls(batch.num_rows, type=types[c])
+            # the join result is all-null by definition
+            pos = np.full(n, -1, dtype=np.int64)
         else:
+            upos = payload["key_index"].get_indexer(uniq)  # -1 = missing
             idx = d.indices
             null_mask = pc.is_null(idx).to_numpy(zero_copy_only=False)
             codes = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
-            sub = lookup.reindex(uniq)
-            has_nulls = null_mask.any()
-            mask_arr = pa.array(null_mask) if has_nulls else None
-            for c in value_cols:
-                vals = pd.Series(sub[c].to_numpy()[codes])
-                arr = pa.array(vals, type=types[c], from_pandas=True)
-                if has_nulls:
-                    arr = pc.if_else(mask_arr, pa.scalar(None, types[c]), arr)
-                out_cols[c] = arr
+            pos = upos[codes]
+            pos[null_mask] = -1
+        out_cols = _gather_dim_values(payload, pos)
     for c, arr in out_cols.items():
         out_name = f"{spec.name}_{c}"
         i = batch.schema.get_field_index(out_name)
@@ -255,6 +310,27 @@ class MultiDimEnricher:
         batch = self._lang(batch)
         if self._resolved is None:
             self._resolved = [(s, ray.get(r)) for s, r in self._items]
+        # a dim output name colliding with a REAL upstream column would
+        # silently overwrite source data via set_column — refuse instead
+        # (checked against the pre-dim batch, so re-applied dim columns
+        # from a prior enrichment pass are not false positives)
+        incoming = set(batch.schema.names)
+        produced = set()
+        for spec, payload in self._resolved:
+            for c in payload["value_cols"]:
+                out_name = f"{spec.name}_{c}"
+                if out_name in incoming:
+                    raise ValueError(
+                        f"dim {spec.name!r}: output column {out_name!r} "
+                        "collides with an upstream data column — rename "
+                        "the dim or its value column"
+                    )
+                if out_name in produced:
+                    raise ValueError(
+                        f"dim {spec.name!r}: output column {out_name!r} "
+                        "collides with another dim's output"
+                    )
+                produced.add(out_name)
         for spec, payload in self._resolved:
             batch = _apply_dim(batch, spec, payload)
         return batch

@@ -268,7 +268,10 @@ class LakeLineage:
             os.path.join(self.buckets_dir, "b=*", "foldcache-*.parquet")
         ):
             if p not in valid_caches:
-                os.remove(p)
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    continue  # an exporter's self-delete won the race
                 removed += 1
         return removed
 

@@ -384,9 +384,24 @@ def make_reconciliation_check(
                 .groupby(keys, as_index=False)[value_col]
                 .sum()
             )
-        truth = _read_truth()
+        try:
+            truth = _read_truth()
+        except Exception as ex:  # missing/torn/unparsable side table:
+            # report as a violation (alert for optional severity, gate for
+            # mandatory) instead of crashing the tick — the truth table is
+            # produced by an EXTERNAL job and may simply not be there yet
+            return [
+                {
+                    "reason": "truth table unreadable",
+                    "truth_path": truth_path,
+                    "error": f"{type(ex).__name__}: {ex}",
+                }
+            ]
         missing = [c for c in (*keys, value_col) if c not in truth.columns]
         if missing:
+            # a PRESENT table with the wrong schema is a config-contract
+            # error (the check is pointed at the wrong table) — loud, unlike
+            # the not-there-yet case above
             raise ValueError(
                 f"reconciliation {name!r}: truth table {truth_path} lacks "
                 f"columns {missing}"

@@ -168,20 +168,18 @@ class ReplayEngine:
         the tick manifest for lineage)."""
         if not self.ext_map_path:
             return None
-        import hashlib
         import json as _json
 
-        import ray as _ray
-
         from ..wal import EXT_TO_LANG
+        from .enrich import versioned_broadcast
 
-        with open(self.ext_map_path, "rb") as f:
-            raw = f.read()
-        ver = hashlib.sha256(raw).hexdigest()[:12]
-        if ver != self._dim_version:
-            merged = dict(EXT_TO_LANG)
-            merged.update(_json.loads(raw))
-            self._dim_ref = _ray.put(merged)  # re-broadcast once per version
+        ver, ref = versioned_broadcast(
+            self.ext_map_path,
+            self._dim_version,
+            lambda raw: {**EXT_TO_LANG, **_json.loads(raw)},
+        )
+        if ref is not None:
+            self._dim_ref = ref
             self._dim_version = ver
         return ver
 
@@ -191,24 +189,17 @@ class ReplayEngine:
         Returns {dim name: version} for the tick manifest."""
         if not self.dims:
             return {}
-        import hashlib
-
-        import ray as _ray
-
-        from .enrich import load_dim_payload
+        from .enrich import load_dim_payload, versioned_broadcast
 
         versions = {}
         for spec in self.dims:
-            with open(spec.path, "rb") as f:
-                raw = f.read()
-            ver = hashlib.sha256(raw).hexdigest()[:12]
-            if self._dims_versions.get(spec.name) != ver:
-                # parse the exact bytes hashed — a concurrent dim edit
-                # between hash and a re-read would broadcast new content
-                # under the old version tag (or crash on a torn file)
-                self._dims_refs[spec.name] = _ray.put(
-                    load_dim_payload(spec, raw=raw)
-                )
+            ver, ref = versioned_broadcast(
+                spec.path,
+                self._dims_versions.get(spec.name),
+                lambda raw, spec=spec: load_dim_payload(spec, raw=raw),
+            )
+            if ref is not None:
+                self._dims_refs[spec.name] = ref
                 self._dims_versions[spec.name] = ver
             versions[spec.name] = ver
         return versions

@@ -33,6 +33,10 @@ from dataclasses import dataclass, field
 
 VIEW_KINDS = ("repo_stats", "aggregate")
 
+#: table names become directories under lake/tables/ — one pattern shared
+#: by config validation and every CLI surface that builds such a path
+TABLE_NAME_RE = r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}"
+
 # supported aggregate-view functions; sum/count/min/max are distributive
 # (exact under the two-level partial/reduce), mean decomposes into sum+count.
 # first/last are argmin/argmax by an order key ("by"): the value of "col" on
@@ -106,7 +110,7 @@ class TableSpec:
         # escape it ('..', '.', separators) or collide with lake metadata
         import re
 
-        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,63}", self.name or ""):
+        if not re.fullmatch(TABLE_NAME_RE, self.name or ""):
             raise ValueError(f"bad table name {self.name!r}")
         if self.is_view:
             if self.view not in VIEW_KINDS:

@@ -308,3 +308,80 @@ def test_dim_all_null_key_batch(tmp_path):
     )
     out2 = _apply_dim(batch2, spec, payload)
     assert out2["d_tier"].to_pylist() == [None, 1, None]
+
+
+def test_dim_int64_values_above_2_53_stay_exact(tmp_path):
+    """Review regression: int64 rider values above 2^53 must survive the
+    join EXACTLY even when some batch keys miss the dim (the old pandas
+    reindex/merge path converted values to float64 and silently rounded
+    them to the nearest representable double)."""
+    from etl_ray.engine.enrich import _apply_dim
+
+    big = (1 << 53) + 1  # not representable in float64
+    dim_path = str(tmp_path / "big.json")
+    with open(dim_path, "w") as f:
+        json.dump([{"lang": "python", "big_id": big}], f)
+    spec = DimSpec(name="d", path=dim_path, key="lang")
+    payload = load_dim_payload(spec)
+    assert payload["types"]["big_id"] == pa.int64()
+    # one key hits, one misses the dim — the miss used to poison the
+    # whole column through a float64 NaN frame
+    batch = pa.table({"lang": pa.array(["python", "go"])})
+    out = _apply_dim(batch, spec, payload)
+    assert out["d_big_id"].to_pylist() == [big, None]
+
+    # versioned (as-of) path: same guarantee
+    dim2_path = str(tmp_path / "big_versioned.json")
+    with open(dim2_path, "w") as f:
+        json.dump(
+            [
+                {"lang": "python", "valid_from": "2024-01-01", "big_id": big},
+                {"lang": "python", "valid_from": "2024-06-01", "big_id": big + 2},
+            ],
+            f,
+        )
+    spec2 = DimSpec(name="v", path=dim2_path, key="lang", as_of="ts")
+    payload2 = load_dim_payload(spec2)
+    batch2 = pa.table(
+        {
+            "lang": pa.array(["python", "python", "go"]),
+            "ts": pa.array(
+                [
+                    pd.Timestamp("2024-03-01"),
+                    pd.Timestamp("2024-07-01"),
+                    pd.Timestamp("2024-07-01"),
+                ],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out2 = _apply_dim(batch2, spec2, payload2)
+    assert out2["v_big_id"].to_pylist() == [big, big + 2, None]
+
+
+def test_dim_output_collision_with_upstream_column_rejected(tmp_path):
+    """Review regression: a dim whose output name {name}_{col} equals a
+    real upstream column would silently overwrite source data — the
+    enricher must refuse instead."""
+    import ray
+
+    from etl_ray.engine.enrich import LangEnricher, MultiDimEnricher
+
+    dim_path = str(tmp_path / "c.json")
+    # dim named 'commit' with value column 'x' -> output 'commit_x'
+    with open(dim_path, "w") as f:
+        json.dump([{"lang": "python", "x": 1}], f)
+    spec = DimSpec(name="commit", path=dim_path, key="lang")
+    payload = load_dim_payload(spec)
+    enricher = MultiDimEnricher(
+        LangEnricher(ext_map={}), [(spec, ray.put(payload))]
+    )
+    batch = pa.table(
+        {
+            "path": pa.array(["a.py"]),
+            "lang": pa.array(["python"]),
+            "commit_x": pa.array([99]),
+        }
+    )
+    with pytest.raises(ValueError, match="collides with an upstream"):
+        enricher(batch)

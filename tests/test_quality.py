@@ -278,3 +278,32 @@ def test_reconciliation_check_tolerance(ray_session, small_wal, tmp_path):
         make_reconciliation_check(
             "store_recon", bad_path, rel_tolerance=0.05
         ).check(ctx)
+
+
+def test_reconciliation_missing_truth_is_violation_not_crash(tmp_path):
+    """Review regression: the truth side table is produced by an EXTERNAL
+    job — when it's absent or malformed the check must report a violation
+    (alert-only at the default optional severity), not crash the tick."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ray.engine.quality import make_reconciliation_check
+
+    eng = pd.DataFrame({"day": ["2024-01-01"], "events": [10]})
+    spec = make_reconciliation_check(
+        "recon", str(tmp_path / "nope.parquet"), rel_tolerance=0.05,
+        compute=lambda ctx: eng,
+    )
+    v = spec.check(None)
+    assert len(v) == 1 and v[0]["reason"] == "truth table unreadable"
+
+    # a torn/unparsable file is the same external condition
+    torn = str(tmp_path / "torn.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"not parquet")
+    spec2 = make_reconciliation_check(
+        "recon", torn, rel_tolerance=0.05, compute=lambda ctx: eng,
+    )
+    v2 = spec2.check(None)
+    assert len(v2) == 1 and v2[0]["reason"] == "truth table unreadable"
