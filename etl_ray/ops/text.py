@@ -109,11 +109,13 @@ _STOPWORDS = {
 
 class QualityScorer:
     """Quality features per doc (reference analog: per-event quality flags,
-    ``load_data.sql:10``). Actor pool: regex + stopword set compiled once."""
+    ``load_data.sql:10``). Actor pool: the stopword value-set is built once;
+    the per-batch body is Arrow kernels + bincount — no per-row Python
+    (tokens are `[a-z0-9_]+` on lowered text, written identically in the
+    DuckDB oracle's regexp_extract_all)."""
 
     def __init__(self):
-        self.word_re = re.compile(r"\w+", re.UNICODE)
-        self.stop = frozenset(_STOPWORDS)
+        self.stop_set = pa.array(sorted(_STOPWORDS), pa.string())
 
     @staticmethod
     def _q6(x):
@@ -122,37 +124,66 @@ class QualityScorer:
         # both engines (plain ROUND can differ in the last ULP)
         return np.floor(x * 1_000_000.0 + 0.5) / 1_000_000.0
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        words = batch["text"].str.lower().str.findall(self.word_re)
-        n_words = words.map(len)
-        stop_n = words.map(lambda ws: sum(w in self.stop for w in ws))
-        uniq_n = words.map(lambda ws: len(set(ws)))
-        chars = batch["text"].str.len()
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        lower = pc.utf8_lower(t["text"])
+        # split on the token-alphabet complement ≡ findall('[a-z0-9_]+');
+        # boundary splits yield empty strings, masked out below
+        toks = pc.split_pattern_regex(lower, pattern=r"[^a-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_words = np.bincount(parents[nonempty], minlength=n).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        stop_n = np.bincount(parents[nonempty & is_stop], minlength=n)
+        # distinct per row: dictionary-encode tokens, pack (row, code) into
+        # one uint64 key, count unique keys per row (same trick as
+        # doc_token_stats)
+        codes = (
+            pc.dictionary_encode(flat)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        packed = (parents.astype(np.uint64) << np.uint64(32)) | codes
+        uniq_keys = np.unique(packed[nonempty])
+        uniq_n = np.bincount(
+            (uniq_keys >> np.uint64(32)).astype(np.int64), minlength=n
+        )
+        chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
         q6 = self._q6
-        out = pd.DataFrame(
+        denom = np.maximum(n_words, 1)
+        stop_ratio = q6(stop_n / denom)
+        frac_unique = q6(uniq_n / denom)
+        mean_word_len = q6((chars - np.maximum(n_words - 1, 0)) / denom)
+        quality = q6(
+            0.5 * np.clip(frac_unique, 0, 1)
+            + 0.3 * (1 - stop_ratio)
+            + 0.2 * (np.minimum(n_words, 200) / 200)
+        )
+        return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "n_words": n_words.astype("int64"),
-                "stop_ratio": q6(stop_n / n_words.clip(lower=1)),
-                "frac_unique": q6(uniq_n / n_words.clip(lower=1)),
-                "mean_word_len": q6(
-                    (chars - (n_words - 1).clip(lower=0)) / n_words.clip(lower=1)
-                ),
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words),
+                "stop_ratio": pa.array(stop_ratio),
+                "frac_unique": pa.array(frac_unique),
+                "mean_word_len": pa.array(mean_word_len),
+                "quality": pa.array(quality),
             }
         )
-        # simple composite quality score in [0,1]
-        out["quality"] = q6(
-            0.5 * out["frac_unique"].clip(0, 1)
-            + 0.3 * (1 - out["stop_ratio"])
-            + 0.2 * (out["n_words"].clip(0, 200) / 200)
-        )
-        return out
 
     @staticmethod
     def run(sf_dir: str) -> pd.DataFrame:
         ds = read(sf_dir, "documents", columns=["doc_id", "text"])
         out = ds.map_batches(
-            QualityScorer, batch_format="pandas", batch_size=2048, concurrency=(1, 4)
+            QualityScorer,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=2048,
+            concurrency=(1, 4),
         )
         return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
