@@ -31,7 +31,7 @@ import json
 import os
 from dataclasses import dataclass, field
 
-VIEW_KINDS = ("repo_stats", "aggregate")
+VIEW_KINDS = ("repo_stats", "aggregate", "session")
 
 #: table names become directories under lake/tables/ — one pattern shared
 #: by config validation and every CLI surface that builds such a path
@@ -100,6 +100,14 @@ class TableSpec:
     # [{"name": ..., "path": ..., "key": ..., "as_of": ...?}] — versioned +
     # re-broadcast on change, as-of pick when the dim file is date-versioned
     dims: list = field(default_factory=list)
+    # view="session" only: gap-based sessionization of the upstream state
+    # (the reference's sessions fact table, ``insert_sessions.sql:36-83``,
+    # as a continuously maintained view): one output row per (key, session),
+    # where a session is a maximal run of ``ts`` values per key with
+    # consecutive gaps <= gap_minutes
+    view_key: list[str] = field(default_factory=list)
+    view_ts: str | None = None
+    gap_minutes: float = 30.0
 
     @property
     def is_view(self) -> bool:
@@ -157,6 +165,28 @@ class TableSpec:
                         f"aggregate view {self.name!r}: duplicate output names "
                         f"{sorted(dupes | (set(outs) & set(self.view_group_by)))}"
                     )
+            if self.view == "session":
+                if not self.view_key:
+                    raise ValueError(
+                        f"session view {self.name!r} needs key columns"
+                    )
+                if not self.view_ts:
+                    raise ValueError(
+                        f"session view {self.name!r} needs a ts column"
+                    )
+                if not (self.gap_minutes > 0):
+                    raise ValueError(
+                        f"session view {self.name!r}: gap_minutes must be > 0"
+                    )
+                clash = (
+                    {"session_start", "session_end", "n_events", "session_seq"}
+                    & set(self.view_key)
+                )
+                if clash or self.view_ts in self.view_key:
+                    raise ValueError(
+                        f"session view {self.name!r}: key columns collide "
+                        f"with output names {sorted(clash)}"
+                    )
         elif not self.wal_dir:
             raise ValueError(f"base table {self.name!r} needs wal_dir")
         if self.dims:
@@ -181,7 +211,7 @@ _CONFIG_KEYS = frozenset(
         "name", "wal", "buckets", "concurrency", "tz_offset_minutes",
         "aggregate", "folds", "pseudonym_fields", "changelog", "retain_ticks",
         "shuffle", "view", "source", "state_mode", "delta_threshold",
-        "group_by", "aggs", "dims",
+        "group_by", "aggs", "dims", "key", "ts", "gap_minutes",
     }
 )
 
@@ -224,6 +254,9 @@ def spec_from_config(entry: dict) -> TableSpec:
         view_group_by=list(entry.get("group_by", [])),
         view_aggs=[dict(a) for a in entry.get("aggs", [])],
         dims=[dict(d) for d in entry.get("dims", [])],
+        view_key=list(entry.get("key", [])),
+        view_ts=entry.get("ts"),
+        gap_minutes=float(entry.get("gap_minutes", 30.0)),
     )
     spec.validate()
     return spec
@@ -461,6 +494,8 @@ class MultiTableLake:
         s = self.spec(name)
         if not s.is_view:
             raise ValueError(f"{name!r} is not a view")
+        if s.view == "session":
+            return read_session_view(_sess_spec_of(s), self.table_dir(name))
         return read_agg_view(_agg_spec_of(s), self.table_dir(name))
 
     def erase(
@@ -803,9 +838,285 @@ def _agg_partial_of_state(
     return out.num_rows
 
 
+# --- session views ----------------------------------------------------------
+# Gap-based sessionization as a maintained view (the reference's sessions
+# fact table, ``insert_sessions.sql:36-83``). Sessions are algebraically
+# mergeable: each bucket's partial holds per-key session FRAGMENTS
+# (session_start, session_end, n_events) of its own rows; the read-side
+# reduce interval-merges fragments per key with the same gap rule. This is
+# exact: adding rows can only shrink gaps, so union sessions never split
+# inside a fragment, and two fragments belong to one session iff their
+# coverage intervals come within ``gap`` of each other — which the classic
+# sorted interval-merge (running max of session_end per key) computes.
+
+
+def _sess_spec_of(spec: TableSpec) -> dict:
+    return {
+        "key": list(spec.view_key),
+        "ts": spec.view_ts,
+        "gap_minutes": spec.gap_minutes,
+    }
+
+
+_TS_UNITS_PER_MINUTE = {
+    "s": 60, "ms": 60_000, "us": 60_000_000, "ns": 60_000_000_000,
+}
+
+
+def _gap_in_ts_units(ts_type, gap_minutes: float) -> int:
+    import pyarrow as pa
+
+    if not pa.types.is_timestamp(ts_type):
+        raise ValueError(
+            f"session view ts column must be a timestamp, got {ts_type}"
+        )
+    return int(round(gap_minutes * _TS_UNITS_PER_MINUTE[ts_type.unit]))
+
+
+def _adjacent_neq(col) -> "np.ndarray":
+    """Null-safe "value differs from the previous row" mask (length n-1)
+    for one sorted Arrow column — null == null, matching SQL GROUP BY."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    a, b = col.slice(1), col.slice(0, n - 1)
+    neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(zero_copy_only=False)
+    an = pc.is_null(a).to_numpy(zero_copy_only=False)
+    bn = pc.is_null(b).to_numpy(zero_copy_only=False)
+    return neq | (an != bn)
+
+
+def _session_partial_of_state(
+    man: dict, sess_spec: dict, out_path: str, col_types: dict | None = None
+) -> int:
+    """One bucket's session fragments from its committed state. Same
+    idempotent/atomic/unified-types contract as ``_agg_partial_of_state``;
+    rows with a null ts are skipped (they belong to no session — the SQL
+    analog filters ``ts IS NOT NULL``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .apply import read_bucket_state
+
+    key, ts = sess_spec["key"], sess_spec["ts"]
+    t = read_bucket_state(man, columns=[*key, ts, "deleted"])
+    for c, typ in (col_types or {}).items():
+        i = t.schema.get_field_index(c)
+        if i >= 0 and t.schema.field(i).type != typ:
+            t = t.set_column(i, c, pc.cast(t[c], typ))
+    gap = _gap_in_ts_units(t.schema.field(ts).type, sess_spec["gap_minutes"])
+    live = t.filter(
+        pc.and_(
+            pc.invert(pc.coalesce(t["deleted"], pa.scalar(False))),
+            pc.is_valid(t[ts]),
+        )
+    )
+    idx = pc.sort_indices(
+        live, sort_keys=[(k, "ascending") for k in (*key, ts)]
+    )
+    s = live.take(idx)
+    n = s.num_rows
+    if n == 0:
+        out = pa.table(
+            {
+                **{k: pa.array([], s.schema.field(k).type) for k in key},
+                "session_start": pa.array([], s.schema.field(ts).type),
+                "session_end": pa.array([], s.schema.field(ts).type),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    else:
+        x = pc.cast(s[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        new_frag = np.zeros(n, dtype=bool)
+        new_frag[0] = True
+        if n > 1:
+            brk = np.diff(x) > gap
+            for k in key:
+                brk |= _adjacent_neq(s[k])
+            new_frag[1:] = brk
+        starts = np.flatnonzero(new_frag)
+        ends = np.r_[starts[1:], n] - 1
+        out = pa.table(
+            {
+                **{k: pc.take(s[k], pa.array(starts)) for k in key},
+                "session_start": pc.take(s[ts], pa.array(starts)),
+                "session_end": pc.take(s[ts], pa.array(ends)),
+                "n_events": pa.array(
+                    np.diff(np.r_[starts, n]).astype(np.int64)
+                ),
+            }
+        )
+    tmp = out_path + f".{os.getpid()}.tmp"
+    pq.write_table(out, tmp, compression="zstd")
+    os.replace(tmp, out_path)
+    return out.num_rows
+
+
+def refresh_session_view(
+    sess_spec: dict, upstream_dir: str, view_dir: str
+) -> dict | None:
+    """Advance a session view to the upstream's committed tick — same
+    incremental contract as ``refresh_agg_view``: one Ray task per bucket
+    whose manifest tick advanced, spec/type changes force a full partial
+    recompute, ``_view.json`` publishes last."""
+    import ray
+
+    from .lineage import LakeLineage
+    from .lock import writer_lock
+
+    up = LakeLineage(upstream_dir)
+    last = up.last_tick()
+    if last is None:
+        return None
+    spec_hash = _agg_spec_hash(sess_spec)
+    mf = _view_manifest(view_dir)
+    applied = mf.get("upstream_tick", -1)
+    if mf.get("spec_hash") not in (None, spec_hash):
+        applied = -1
+    if last["tick"] <= applied:
+        return None
+    types_hash = mf.get("types_hash")
+
+    with writer_lock(view_dir, "view-refresh"):
+        pdir = os.path.join(view_dir, "partials")
+        os.makedirs(pdir, exist_ok=True)
+        manifests = up.all_bucket_manifests()
+        live_buckets = {m["bucket"] for m in manifests}
+        for f in glob.glob(os.path.join(pdir, "b=*.parquet")):
+            b = int(os.path.basename(f)[2:-8])
+            if b not in live_buckets:
+                os.remove(f)
+        from .apply import bucket_schemas
+        from .schema_evo import unify_schemas
+
+        upstream = unify_schemas(bucket_schemas(manifests))
+        need = list(dict.fromkeys([*sess_spec["key"], sess_spec["ts"]]))
+        missing = [c for c in need if c not in upstream.names]
+        if missing:
+            raise ValueError(
+                f"session-view columns {missing} not in the upstream table "
+                f"(has: {', '.join(upstream.names)})"
+            )
+        col_types = {c: upstream.field(c).type for c in need}
+        _gap_in_ts_units(col_types[sess_spec["ts"]], sess_spec["gap_minutes"])
+        new_types_hash = _agg_spec_hash({c: str(t) for c, t in col_types.items()})
+        if types_hash not in (None, new_types_hash):
+            applied = -1
+        touched = [m for m in manifests if m["tick"] > applied]
+        if touched:
+            task = ray.remote(num_cpus=1)(_session_partial_of_state)
+            futs = [
+                task.remote(
+                    dict(m), sess_spec,
+                    os.path.join(pdir, f"b={m['bucket']:05d}.parquet"),
+                    col_types,
+                )
+                for m in touched
+            ]
+            rows = sum(ray.get(futs))
+        else:
+            rows = 0
+        _publish_view_manifest(
+            view_dir,
+            {
+                "upstream_tick": last["tick"],
+                "kind": "session",
+                "spec_hash": spec_hash,
+                "types_hash": new_types_hash,
+                "ts_unit": str(col_types[sess_spec["ts"]].unit),
+                "ts_tz": col_types[sess_spec["ts"]].tz,
+            },
+        )
+    return {"upstream_tick": last["tick"], "buckets": len(touched), "partial_rows": rows}
+
+
+_SESSION_MERGE_BUCKETS = 32
+
+
+def read_session_view(sess_spec: dict, view_dir: str):
+    """The session view as a Ray Dataset: per-key interval merge of the
+    per-bucket fragments. Fragments shuffle once by hash(key) into
+    ``_SESSION_MERGE_BUCKETS`` groups; the merge inside each group is
+    vectorized pandas over ALL its keys (sort + per-key running cummax of
+    session_end), not a Python loop per key. Output grain: one row per
+    (key, session) with session_start/end, n_events, session_seq."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .partitioning import stable_hash64
+
+    key = sess_spec["key"]
+    mf = _view_manifest(view_dir)
+    ts_type = pa.timestamp(mf.get("ts_unit", "us"), tz=mf.get("ts_tz"))
+    files = sorted(glob.glob(os.path.join(view_dir, "partials", "b=*.parquet")))
+    if not files:
+        cols = {k: pa.array([], pa.string()) for k in key}
+        cols["session_start"] = pa.array([], ts_type)
+        cols["session_end"] = pa.array([], ts_type)
+        cols["n_events"] = pa.array([], pa.int64())
+        cols["session_seq"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    ds = ray.data.read_parquet(files, partitioning=None)
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = stable_hash64(*(pc.cast(t[k], pa.string()) for k in key))
+        return t.append_column(
+            "__b",
+            pa.array((h % np.uint64(_SESSION_MERGE_BUCKETS)).astype(np.int32)),
+        )
+
+    gap = pd.Timedelta(minutes=sess_spec["gap_minutes"])
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            [*key, "session_start", "session_end"],
+            kind="mergesort",
+            ignore_index=True,
+        )
+        kc = pd.Series(False, index=df.index)
+        for k in key:
+            a, b = df[k], df[k].shift()
+            kc |= a.ne(b) & ~(a.isna() & b.isna())
+        kc.iloc[0] = True
+        kid = kc.cumsum()
+        prev_end = df.groupby(kid)["session_end"].cummax().shift(1)
+        df["__sid"] = (kc | ((df["session_start"] - prev_end) > gap)).cumsum()
+        out = df.groupby("__sid", as_index=False, sort=True).agg(
+            **{k: (k, "first") for k in key},
+            session_start=("session_start", "min"),
+            session_end=("session_end", "max"),
+            n_events=("n_events", "sum"),
+        )
+        out = out.drop(columns="__sid")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["session_seq"] = (
+            out.groupby(key, dropna=False).cumcount() + 1
+        ).astype("int64")
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def refresh_view(spec: TableSpec, upstream_dir: str, view_dir: str) -> dict | None:
     if spec.view not in VIEW_KINDS:
         raise ValueError(f"unknown view kind {spec.view!r}")
+    if spec.view == "session":
+        return refresh_session_view(_sess_spec_of(spec), upstream_dir, view_dir)
     return refresh_agg_view(
         _agg_spec_of(spec), upstream_dir, view_dir, kind=spec.view
     )

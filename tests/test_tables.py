@@ -712,3 +712,144 @@ def test_tables_cli_quarantine_and_events(ray_session, tmp_path):
     with pytest.raises(SystemExit), redirect_stdout(buf), contextlib.redirect_stderr(io.StringIO()):
         main(["quarantine", "--lake", str(tmp_path / "ml"),
               "--table", "../evil", "--out", str(tmp_path / "q2")])
+
+
+# --- session views ----------------------------------------------------------
+
+
+def _oracle_sessions(wal, gap_minutes: int) -> pd.DataFrame:
+    """DuckDB truth: LWW-fold the WAL to live state, then windowed
+    gap-sessionization per repo over commit_ts."""
+    files = ", ".join(f"'{f}'" for f in wal.segment_files)
+    sql = f"""
+        WITH live AS (
+            SELECT repo, commit_ts FROM (
+                SELECT repo, path, commit_ts, op,
+                       row_number() OVER (PARTITION BY repo, path
+                                          ORDER BY lsn DESC) AS rn
+                FROM read_parquet([{files}], union_by_name=true))
+            WHERE rn = 1 AND op <> 'delete' AND commit_ts IS NOT NULL
+        ), b AS (
+            SELECT repo, commit_ts,
+                   CASE WHEN commit_ts - LAG(commit_ts) OVER (
+                            PARTITION BY repo ORDER BY commit_ts)
+                        > INTERVAL {gap_minutes} MINUTE THEN 1 ELSE 0 END AS brk
+            FROM live
+        ), c AS (
+            SELECT repo, commit_ts,
+                   SUM(brk) OVER (PARTITION BY repo ORDER BY commit_ts
+                                  ROWS UNBOUNDED PRECEDING) AS g
+            FROM b
+        )
+        SELECT repo,
+               MIN(commit_ts) AS session_start,
+               MAX(commit_ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROW_NUMBER() OVER (PARTITION BY repo
+                                       ORDER BY MIN(commit_ts)) AS BIGINT)
+                   AS session_seq
+        FROM c GROUP BY repo, g ORDER BY repo, session_start
+    """
+    return duckdb.sql(sql).df()
+
+
+def _sessions_df(lake: MultiTableLake, name: str) -> pd.DataFrame:
+    df = lake.read_view(name).to_pandas()
+    df = df.sort_values(["repo", "session_start"]).reset_index(drop=True)
+    return df[["repo", "session_start", "session_end", "n_events", "session_seq"]]
+
+
+def test_session_view_matches_oracle_and_is_incremental(
+    ray_session, small_wal, tmp_path
+):
+    """Gap-sessionization as a maintained view: per-bucket session FRAGMENTS
+    + read-side per-key interval merge equals DuckDB's windowed
+    sessionization over the LWW live state — after a partial replay, after
+    the final tick (touching only advanced buckets), and as a no-op when
+    the upstream is idle."""
+    gap = 45
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(
+                name="sessions", view="session", source="repo_files",
+                view_key=["repo"], view_ts="commit_ts", gap_minutes=gap,
+            ),
+        ],
+    )
+    eng = lake.engine("repo_files")
+    eng.tick(len(small_wal.segments) - 1)
+    r1 = lake.tick()  # final segment + first refresh (all 8 buckets)
+    assert r1["sessions"]["buckets"] == 8 and r1["sessions"]["partial_rows"] > 0
+
+    got = _sessions_df(lake, "sessions")
+    exp = _oracle_sessions(small_wal, gap)
+    assert (got["session_end"] >= got["session_start"]).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # idle upstream → refresh is a no-op
+    assert lake.tick()["sessions"] is None
+
+
+def test_session_view_incremental_refresh_touches_advanced_buckets(
+    ray_session, small_wal, tmp_path
+):
+    gap = 45
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(
+                name="sessions", view="session", source="repo_files",
+                view_key=["repo"], view_ts="commit_ts", gap_minutes=gap,
+            ),
+        ],
+    )
+    from etl_ray.engine.tables import refresh_view
+
+    eng = lake.engine("repo_files")
+    eng.tick(len(small_wal.segments) - 1)
+    refresh_view(
+        lake.spec("sessions"),
+        lake.table_dir("repo_files"),
+        lake.table_dir("sessions"),
+    )
+    applied = json.load(
+        open(os.path.join(lake.table_dir("sessions"), "_view.json"))
+    )["upstream_tick"]
+    eng.tick()  # one more upstream tick
+    advanced = [
+        m["bucket"]
+        for m in LakeLineage(lake.table_dir("repo_files")).all_bucket_manifests()
+        if m["tick"] > applied
+    ]
+    res = lake.tick()["sessions"]
+    assert res["buckets"] == len(advanced)
+    got = _sessions_df(lake, "sessions")
+    exp = _oracle_sessions(small_wal, gap)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_session_view_spec_validation():
+    with pytest.raises(ValueError, match="needs key columns"):
+        TableSpec(name="s", view="session", source="t", view_ts="commit_ts").validate()
+    with pytest.raises(ValueError, match="needs a ts column"):
+        TableSpec(name="s", view="session", source="t", view_key=["repo"]).validate()
+    with pytest.raises(ValueError, match="gap_minutes"):
+        TableSpec(
+            name="s", view="session", source="t",
+            view_key=["repo"], view_ts="commit_ts", gap_minutes=0,
+        ).validate()
+    with pytest.raises(ValueError, match="collide"):
+        TableSpec(
+            name="s", view="session", source="t",
+            view_key=["n_events"], view_ts="commit_ts",
+        ).validate()
+    # config-key spelling for the session surface
+    s = spec_from_config(
+        {"name": "s", "view": "session", "source": "t",
+         "key": ["repo"], "ts": "commit_ts", "gap_minutes": 15}
+    )
+    assert s.view_key == ["repo"] and s.view_ts == "commit_ts"
+    assert s.gap_minutes == 15.0
