@@ -264,6 +264,13 @@ def _multi_lake(sf_dir: str):
                 {"out": "last_ts", "col": "commit_ts", "fn": "last", "by": "lsn"},
             ],
         ),
+        # gap-based session view: maximal runs of live-row commit_ts per
+        # repo with gaps <= 180 min (the reference's sessions fact table,
+        # ``insert_sessions.sql:36-83``, maintained incrementally)
+        TableSpec(
+            name="activity_sessions", view="session", source="repo_files",
+            view_key=["repo"], view_ts="commit_ts", gap_minutes=180,
+        ),
     ]
     lake = MultiTableLake(lake_dir, specs)
     lake.replay_all()
@@ -313,6 +320,28 @@ def cdc_registration_view(sf_dir: str):
     return df.sort_values("repo").reset_index(drop=True)
 
 
+def cdc_session_view(sf_dir: str):
+    """Gap-based session view: per-repo activity sessions over the live
+    state's commit_ts (180-min gap), maintained incrementally as per-bucket
+    session fragments + a per-key interval-merge read. Reference semantics:
+    ``insert_sessions.sql:36-83`` (gap sessionization fact table)."""
+    lake = _multi_lake(sf_dir)
+    df = lake.read_view("activity_sessions").to_pandas()
+    from etl_ray.ops.common import epoch_us
+
+    df["session_start_us"] = epoch_us(df["session_start"])
+    df["session_end_us"] = epoch_us(df["session_end"])
+    df = df.drop(columns=["session_start", "session_end"]).astype(
+        {
+            "n_events": "int64", "session_seq": "int64",
+            "session_start_us": "int64", "session_end_us": "int64",
+        }
+    )
+    return df.sort_values(["repo", "session_start_us"]).reset_index(drop=True)[
+        ["repo", "session_seq", "session_start_us", "session_end_us", "n_events"]
+    ]
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return cdc_final_state("/root/testdata/sf0.001")
@@ -339,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_repo_stats": cdc_multi_repo_stats,
         "cdc_multi_second_table": cdc_multi_second_table,
         "cdc_registration_view": cdc_registration_view,
+        "cdc_session_view": cdc_session_view,
         # relational ops
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_region": rel.revenue_by_region,
@@ -404,7 +434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": mm.media_features,
         # sketches + deterministic sampling
         "events_approx_distinct_users": sk.events_approx_distinct_users,
-        "lineitem_approx_distinct_parts": sk.lineitem_approx_distinct_parts,
+        # lineitem_approx_distinct_parts rotated out of the 50-entry judged
+        # registry (same KMV sketch as events_approx_distinct_users, second
+        # input table) to admit cdc_session_view; op + DuckDB-oracle pytest
+        # remain (tests/test_retired_ops.py).
         "events_sample": sk.events_sample,
     }
 
@@ -528,6 +561,34 @@ def _cdc_oracle_sql() -> dict[str, str]:
             )
             WHERE rn = 1 AND op <> 'delete'
             GROUP BY repo ORDER BY repo
+        """,
+        "cdc_session_view": f"""
+            WITH live AS (
+                SELECT repo, commit_ts FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+                    FROM {wal_src}
+                )
+                WHERE rn = 1 AND op <> 'delete' AND commit_ts IS NOT NULL
+            ), b AS (
+                SELECT repo, commit_ts,
+                       CASE WHEN commit_ts - LAG(commit_ts) OVER (
+                                PARTITION BY repo ORDER BY commit_ts)
+                            > INTERVAL 180 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM live
+            ), c AS (
+                SELECT repo, commit_ts,
+                       SUM(brk) OVER (PARTITION BY repo ORDER BY commit_ts
+                                      ROWS UNBOUNDED PRECEDING) AS g
+                FROM b
+            )
+            SELECT repo,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY repo
+                            ORDER BY MIN(commit_ts)) AS BIGINT) AS session_seq,
+                   CAST(epoch_us(MIN(commit_ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(MAX(commit_ts)) AS BIGINT) AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM c GROUP BY repo, g ORDER BY repo, session_start_us
         """,
         "cdc_fold_state": f"""
             WITH uniq AS ({uniq}),
@@ -1112,13 +1173,6 @@ def oracle_sql() -> dict[str, str]:
                            + CAST(c4 AS HUGEINT))
                         % CAST(4611686018427387904 AS HUGEINT) AS BIGINT) AS checksum
             FROM g ORDER BY media_id
-        """,
-        "lineitem_approx_distinct_parts": """
-            -- KMV sketch is exact below its k=8192 capacity; sf0.01 has
-            -- 2000 distinct partkeys (NOT exact at sf>=0.05)
-            SELECT 'l_partkey' AS key,
-                   CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS approx_distinct
-            FROM lineitem
         """,
         "emb_label_centroid_norm": """
             SELECT label, COUNT(*) AS n,

@@ -61,6 +61,15 @@ WINNOW_SQL = """
 """
 
 
+LINEITEM_KMV_SQL = """
+    -- KMV sketch is exact below its k=8192 capacity; sf0.01 has
+    -- 2000 distinct partkeys (NOT exact at sf>=0.05)
+    SELECT 'l_partkey' AS key,
+           CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS approx_distinct
+    FROM lineitem
+"""
+
+
 ENTITY_UNION_SQL = """
     SELECT kind, name, nationkey, acctbal, mktsegment FROM (
         SELECT 'customer' AS kind, c_name AS name, c_nationkey AS nationkey,
@@ -96,6 +105,10 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
         # union-align stays driver-covered by part_brand_union)
         ("entity_union_by_name", "etl_ray.ops.relational",
          "customer,supplier", ENTITY_UNION_SQL),
+        # rotated out in round 5 to admit cdc_session_view (the KMV sketch
+        # family stays driver-covered by events_approx_distinct_users)
+        ("lineitem_approx_distinct_parts", "etl_ray.ops.sketch",
+         "lineitem", LINEITEM_KMV_SQL),
     ],
 )
 def test_retired_op_matches_oracle(ray_session, sf_dir, fn_name, module, table, sql):
