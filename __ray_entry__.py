@@ -327,6 +327,15 @@ def cdc_session_view(sf_dir: str):
     ``insert_sessions.sql:36-83`` (gap sessionization fact table)."""
     lake = _multi_lake(sf_dir)
     df = lake.read_view("activity_sessions").to_pandas()
+    cols = ["repo", "session_seq", "session_start_us", "session_end_us", "n_events"]
+    if df.empty:
+        # Ray's to_pandas drops columns on an empty Dataset; rebuild typed
+        import pandas as pd
+
+        return pd.DataFrame(
+            {c: pd.Series([], dtype="object" if c == "repo" else "int64")
+             for c in cols}
+        )
     from etl_ray.ops.common import epoch_us
 
     df["session_start_us"] = epoch_us(df["session_start"])
@@ -337,9 +346,7 @@ def cdc_session_view(sf_dir: str):
             "session_start_us": "int64", "session_end_us": "int64",
         }
     )
-    return df.sort_values(["repo", "session_start_us"]).reset_index(drop=True)[
-        ["repo", "session_seq", "session_start_us", "session_end_us", "n_events"]
-    ]
+    return df.sort_values(["repo", "session_start_us"]).reset_index(drop=True)[cols]
 
 
 def entry() -> Any:

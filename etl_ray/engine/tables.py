@@ -182,10 +182,15 @@ class TableSpec:
                     {"session_start", "session_end", "n_events", "session_seq"}
                     & set(self.view_key)
                 )
-                if clash or self.view_ts in self.view_key:
+                if clash:
                     raise ValueError(
                         f"session view {self.name!r}: key columns collide "
                         f"with output names {sorted(clash)}"
+                    )
+                if self.view_ts in self.view_key:
+                    raise ValueError(
+                        f"session view {self.name!r}: ts column "
+                        f"{self.view_ts!r} cannot also be a key column"
                     )
         elif not self.wal_dir:
             raise ValueError(f"base table {self.name!r} needs wal_dir")
@@ -863,14 +868,18 @@ _TS_UNITS_PER_MINUTE = {
 }
 
 
-def _gap_in_ts_units(ts_type, gap_minutes: float) -> int:
+def _gap_in_ts_units(ts_type, gap_minutes: float) -> float:
+    """Exact float, NOT rounded to the unit grid — the read-side merge
+    compares with the exact ``pd.Timedelta``, and the two halves of the
+    algorithm must apply the same threshold or session splits would depend
+    on physical bucket placement."""
     import pyarrow as pa
 
     if not pa.types.is_timestamp(ts_type):
         raise ValueError(
             f"session view ts column must be a timestamp, got {ts_type}"
         )
-    return int(round(gap_minutes * _TS_UNITS_PER_MINUTE[ts_type.unit]))
+    return gap_minutes * _TS_UNITS_PER_MINUTE[ts_type.unit]
 
 
 def _adjacent_neq(col) -> "np.ndarray":
@@ -958,13 +967,36 @@ def _session_partial_of_state(
     return out.num_rows
 
 
-def refresh_session_view(
-    sess_spec: dict, upstream_dir: str, view_dir: str
+def _refresh_partials(
+    *,
+    spec: dict,
+    upstream_dir: str,
+    view_dir: str,
+    kind: str,
+    need: list[str],
+    optional: set[str],
+    missing_msg,
+    validate_types,
+    manifest_extra,
+    task_fn,
 ) -> dict | None:
-    """Advance a session view to the upstream's committed tick — same
-    incremental contract as ``refresh_agg_view``: one Ray task per bucket
-    whose manifest tick advanced, spec/type changes force a full partial
-    recompute, ``_view.json`` publishes last."""
+    """Shared incremental-refresh driver for ALL partial-file views
+    (aggregate, repo_stats preset, session). Work = one Ray task per bucket
+    whose manifest tick advanced since the last refresh (manifest tick is
+    the bucket's last-rewrite tick, so an untouched bucket costs nothing).
+    A changed view DEFINITION (spec hash) or upstream type drift (types
+    hash — e.g. widening landed since the last refresh) forces a full
+    partial recompute. Crash-safe: partials are pure functions of committed
+    upstream state and ``_view.json`` publishes LAST, so a crashed refresh
+    just redoes its touched buckets.
+
+    The kind-specific pieces come in as callables: ``missing_msg(missing,
+    upstream)`` words the required-column error, ``validate_types(col_types)``
+    raises on unusable types, ``manifest_extra(col_types)`` contributes
+    decode metadata to ``_view.json``, and ``task_fn(man, spec, out_path,
+    col_types)`` recomputes one bucket's partial. A ``need`` column in
+    ``optional`` may be absent upstream (schema evolution) and pins to an
+    int64 placeholder — types_hash changes (full recompute) once it lands."""
     import ray
 
     from .lineage import LakeLineage
@@ -974,46 +1006,56 @@ def refresh_session_view(
     last = up.last_tick()
     if last is None:
         return None
-    spec_hash = _agg_spec_hash(sess_spec)
+    spec_hash = _agg_spec_hash(spec)
     mf = _view_manifest(view_dir)
     applied = mf.get("upstream_tick", -1)
     if mf.get("spec_hash") not in (None, spec_hash):
-        applied = -1
+        applied = -1  # definition changed: every bucket's partial is stale
     if last["tick"] <= applied:
         return None
-    types_hash = mf.get("types_hash")
+    types_hash = mf.get("types_hash")  # re-checked once the schema is known
 
     with writer_lock(view_dir, "view-refresh"):
         pdir = os.path.join(view_dir, "partials")
         os.makedirs(pdir, exist_ok=True)
         manifests = up.all_bucket_manifests()
         live_buckets = {m["bucket"] for m in manifests}
+        # orphans from an upstream rebucket to a smaller bucket count
         for f in glob.glob(os.path.join(pdir, "b=*.parquet")):
             b = int(os.path.basename(f)[2:-8])
             if b not in live_buckets:
                 os.remove(f)
+        # unified upstream schema: preferred source is the schema each
+        # applier embedded in its bucket manifest (one JSON field per
+        # bucket, no file IO); buckets whose manifest predates the field
+        # (bootstrap/rebucket/legacy lakes) fall back to parquet footer
+        # reads. Validates the view's columns against the table and pins
+        # every bucket's partial to ONE type per column despite evolution.
         from .apply import bucket_schemas
         from .schema_evo import unify_schemas
 
         upstream = unify_schemas(bucket_schemas(manifests))
-        need = list(dict.fromkeys([*sess_spec["key"], sess_spec["ts"]]))
-        missing = [c for c in need if c not in upstream.names]
+        missing = [c for c in need if c not in upstream.names and c not in optional]
         if missing:
-            raise ValueError(
-                f"session-view columns {missing} not in the upstream table "
-                f"(has: {', '.join(upstream.names)})"
-            )
-        col_types = {c: upstream.field(c).type for c in need}
-        _gap_in_ts_units(col_types[sess_spec["ts"]], sess_spec["gap_minutes"])
+            raise ValueError(missing_msg(missing, upstream))
+        import pyarrow as pa
+
+        # an optional column absent (so far) pins to a placeholder type —
+        # types_hash changes (full recompute) once it actually lands
+        col_types = {
+            c: (upstream.field(c).type if c in upstream.names else pa.int64())
+            for c in need
+        }
+        validate_types(col_types)
         new_types_hash = _agg_spec_hash({c: str(t) for c, t in col_types.items()})
         if types_hash not in (None, new_types_hash):
             applied = -1
         touched = [m for m in manifests if m["tick"] > applied]
         if touched:
-            task = ray.remote(num_cpus=1)(_session_partial_of_state)
+            task = ray.remote(num_cpus=1)(task_fn)
             futs = [
                 task.remote(
-                    dict(m), sess_spec,
+                    dict(m), spec,
                     os.path.join(pdir, f"b={m['bucket']:05d}.parquet"),
                     col_types,
                 )
@@ -1026,14 +1068,42 @@ def refresh_session_view(
             view_dir,
             {
                 "upstream_tick": last["tick"],
-                "kind": "session",
+                "kind": kind,
                 "spec_hash": spec_hash,
                 "types_hash": new_types_hash,
-                "ts_unit": str(col_types[sess_spec["ts"]].unit),
-                "ts_tz": col_types[sess_spec["ts"]].tz,
+                **manifest_extra(col_types),
             },
         )
     return {"upstream_tick": last["tick"], "buckets": len(touched), "partial_rows": rows}
+
+
+def refresh_session_view(
+    sess_spec: dict, upstream_dir: str, view_dir: str
+) -> dict | None:
+    """Advance a session view to the upstream's committed tick — same
+    incremental contract as ``refresh_agg_view`` (shared driver)."""
+    ts = sess_spec["ts"]
+
+    return _refresh_partials(
+        spec=sess_spec,
+        upstream_dir=upstream_dir,
+        view_dir=view_dir,
+        kind="session",
+        need=list(dict.fromkeys([*sess_spec["key"], ts])),
+        optional=set(),
+        missing_msg=lambda missing, upstream: (
+            f"session-view columns {missing} not in the upstream table "
+            f"(has: {', '.join(upstream.names)})"
+        ),
+        validate_types=lambda col_types: _gap_in_ts_units(
+            col_types[ts], sess_spec["gap_minutes"]
+        ),
+        manifest_extra=lambda col_types: {
+            "ts_unit": str(col_types[ts].unit),
+            "ts_tz": col_types[ts].tz,
+        },
+        task_fn=_session_partial_of_state,
+    )
 
 
 _SESSION_MERGE_BUCKETS = 32
@@ -1054,18 +1124,32 @@ def read_session_view(sess_spec: dict, view_dir: str):
 
     from .partitioning import stable_hash64
 
+    import pyarrow.parquet as pq
+
     key = sess_spec["key"]
     mf = _view_manifest(view_dir)
     ts_type = pa.timestamp(mf.get("ts_unit", "us"), tz=mf.get("ts_tz"))
     files = sorted(glob.glob(os.path.join(view_dir, "partials", "b=*.parquet")))
-    if not files:
-        cols = {k: pa.array([], pa.string()) for k in key}
-        cols["session_start"] = pa.array([], ts_type)
-        cols["session_end"] = pa.array([], ts_type)
-        cols["n_events"] = pa.array([], pa.int64())
+    # skip all-empty partials (fully-deleted buckets): an empty parquet in
+    # the read would be fine, but if EVERY file is empty the merge stage
+    # never runs and the dataset would come back schemaless — fall through
+    # to the typed empty table instead (real column types from the footer).
+    # NB: the Dataset's schema() is then correct, but Ray's to_pandas()
+    # still yields zero COLUMNS for any empty dataset — pandas consumers of
+    # a possibly-empty view must rebuild their frame (write_parquet is fine)
+    nonempty = [f for f in files if pq.read_metadata(f).num_rows > 0]
+    if not nonempty:
+        if files:
+            schema = pq.read_schema(files[0])
+            cols = {n: pa.array([], schema.field(n).type) for n in schema.names}
+        else:
+            cols = {k: pa.array([], pa.string()) for k in key}
+            cols["session_start"] = pa.array([], ts_type)
+            cols["session_end"] = pa.array([], ts_type)
+            cols["n_events"] = pa.array([], pa.int64())
         cols["session_seq"] = pa.array([], pa.int64())
         return ray.data.from_arrow(pa.table(cols))
-    ds = ray.data.read_parquet(files, partitioning=None)
+    ds = ray.data.read_parquet(nonempty, partitioning=None)
 
     def tag(t: pa.Table) -> pa.Table:
         h = stable_hash64(*(pc.cast(t[k], pa.string()) for k in key))
@@ -1126,142 +1210,70 @@ def refresh_repo_stats(upstream_dir: str, view_dir: str) -> dict | None:
     return refresh_agg_view(REPO_STATS_AGG, upstream_dir, view_dir, kind="repo_stats")
 
 
+def _agg_validate_types(agg_spec: dict, col_types: dict) -> None:
+    import pyarrow as pa
+
+    def _packable(t, *, as_value: bool) -> bool:
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_boolean(t)
+            or (as_value and (pa.types.is_string(t) or pa.types.is_binary(t)))
+        )
+
+    for a in _extremal_fields(agg_spec):
+        bt = col_types[a["by"]]
+        if not _packable(bt, as_value=False):
+            raise ValueError(
+                f"first/last order key {a['by']!r} has unorderable "
+                f"type {bt} (need numeric/temporal)"
+            )
+        vt = col_types[a["col"]]
+        if not _packable(vt, as_value=True):
+            raise ValueError(
+                f"first/last value column {a['col']!r} has unpackable "
+                f"type {vt} (need string/binary/numeric/temporal)"
+            )
+
+
 def refresh_agg_view(
     agg_spec: dict, upstream_dir: str, view_dir: str, *, kind: str = "aggregate"
 ) -> dict | None:
-    """Advance the view to the upstream table's committed tick.
-
-    Work = one Ray task per bucket whose manifest tick advanced since the
-    last refresh (manifest tick is the bucket's last-rewrite tick, so an
-    untouched bucket costs nothing). A changed view DEFINITION (spec hash)
-    forces a full partial recompute. Crash-safe: partials are pure
-    functions of committed upstream state and ``_view.json`` publishes
-    LAST, so a crashed refresh just redoes its touched buckets.
-    """
-    import ray
-
-    from .lineage import LakeLineage
-    from .lock import writer_lock
-
-    up = LakeLineage(upstream_dir)
-    last = up.last_tick()
-    if last is None:
-        return None
-    spec_hash = _agg_spec_hash(agg_spec)
-    mf = _view_manifest(view_dir)
-    applied = mf.get("upstream_tick", -1)
-    if mf.get("spec_hash") not in (None, spec_hash):
-        applied = -1  # definition changed: every bucket's partial is stale
-    if last["tick"] <= applied:
-        return None
-    types_hash = mf.get("types_hash")  # re-checked once the schema is known
-
-    with writer_lock(view_dir, "view-refresh"):
-        pdir = os.path.join(view_dir, "partials")
-        os.makedirs(pdir, exist_ok=True)
-        manifests = up.all_bucket_manifests()
-        live_buckets = {m["bucket"] for m in manifests}
-        # orphans from an upstream rebucket to a smaller bucket count
-        for f in glob.glob(os.path.join(pdir, "b=*.parquet")):
-            b = int(os.path.basename(f)[2:-8])
-            if b not in live_buckets:
-                os.remove(f)
-        # unified upstream schema: preferred source is the schema each
-        # applier embedded in its bucket manifest (one JSON field per
-        # bucket, no file IO); buckets whose manifest predates the field
-        # (bootstrap/rebucket/legacy lakes) fall back to parquet footer
-        # reads. Validates the view's columns against the table and pins
-        # every bucket's partial to ONE type per column despite evolution.
-        from .apply import bucket_schemas
-        from .schema_evo import unify_schemas
-
-        upstream = unify_schemas(bucket_schemas(manifests))
-        need = list(
-            dict.fromkeys(
-                [
-                    *agg_spec["group_by"],
-                    *(c for a in agg_spec["aggs"] if (c := a.get("col"))),
-                    *(b for a in agg_spec["aggs"] if (b := a.get("by"))),
-                ]
-            )
-        )
-        optional = {
-            a["col"] for a in agg_spec["aggs"] if a.get("col") and a.get("optional")
-        }
-        missing = [c for c in need if c not in upstream.names and c not in optional]
-        if missing:
-            raise ValueError(
-                f"view columns {missing} not in the upstream table "
-                f"(has: {', '.join(n for n in upstream.names)}; mark a "
-                "column arriving later via schema evolution \"optional\")"
-            )
-        import pyarrow as pa
-
-        # an optional column absent (so far) pins to a placeholder type —
-        # types_hash changes (full recompute) once it actually lands
-        col_types = {
-            c: (
-                upstream.field(c).type
-                if c in upstream.names
-                else pa.int64()
-            )
-            for c in need
-        }
-        def _packable(t, *, as_value: bool) -> bool:
-            return (
-                pa.types.is_integer(t)
-                or pa.types.is_timestamp(t)
-                or pa.types.is_date(t)
-                or pa.types.is_floating(t)
-                or pa.types.is_boolean(t)
-                or (as_value and (pa.types.is_string(t) or pa.types.is_binary(t)))
-            )
-
-        for a in _extremal_fields(agg_spec):
-            bt = col_types[a["by"]]
-            if not _packable(bt, as_value=False):
-                raise ValueError(
-                    f"first/last order key {a['by']!r} has unorderable "
-                    f"type {bt} (need numeric/temporal)"
-                )
-            vt = col_types[a["col"]]
-            if not _packable(vt, as_value=True):
-                raise ValueError(
-                    f"first/last value column {a['col']!r} has unpackable "
-                    f"type {vt} (need string/binary/numeric/temporal)"
-                )
-        new_types_hash = _agg_spec_hash({c: str(t) for c, t in col_types.items()})
-        if types_hash not in (None, new_types_hash):
-            # upstream type drift (e.g. widening landed since the last
-            # refresh): partials written at the old width disagree with new
-            # ones — every bucket's partial is stale
-            applied = -1
-        touched = [m for m in manifests if m["tick"] > applied]
-        if touched:
-            task = ray.remote(num_cpus=1)(_agg_partial_of_state)
-            futs = [
-                task.remote(
-                    dict(m), agg_spec,
-                    os.path.join(pdir, f"b={m['bucket']:05d}.parquet"),
-                    col_types,
-                )
-                for m in touched
+    """Advance the view to the upstream table's committed tick (shared
+    driver — incremental/crash-safety contract in ``_refresh_partials``)."""
+    need = list(
+        dict.fromkeys(
+            [
+                *agg_spec["group_by"],
+                *(c for a in agg_spec["aggs"] if (c := a.get("col"))),
+                *(b for a in agg_spec["aggs"] if (b := a.get("by"))),
             ]
-            rows = sum(ray.get(futs))
-        else:
-            rows = 0
-        _publish_view_manifest(
-            view_dir,
-            {
-                "upstream_tick": last["tick"],
-                "kind": kind,
-                "spec_hash": spec_hash,
-                "types_hash": new_types_hash,
-                # exact Arrow value types of first/last outputs (decode side)
-                "enc_types": _enc_types_payload(agg_spec, col_types),
-            },
         )
-    return {"upstream_tick": last["tick"], "buckets": len(touched), "partial_rows": rows}
+    )
+
+    return _refresh_partials(
+        spec=agg_spec,
+        upstream_dir=upstream_dir,
+        view_dir=view_dir,
+        kind=kind,
+        need=need,
+        optional={
+            a["col"] for a in agg_spec["aggs"] if a.get("col") and a.get("optional")
+        },
+        missing_msg=lambda missing, upstream: (
+            f"view columns {missing} not in the upstream table "
+            f"(has: {', '.join(n for n in upstream.names)}; mark a "
+            "column arriving later via schema evolution \"optional\")"
+        ),
+        validate_types=lambda col_types: _agg_validate_types(agg_spec, col_types),
+        # exact Arrow value types of first/last outputs (decode side)
+        manifest_extra=lambda col_types: {
+            "enc_types": _enc_types_payload(agg_spec, col_types)
+        },
+        task_fn=_agg_partial_of_state,
+    )
 
 
 def read_repo_stats(view_dir: str):

@@ -19,32 +19,41 @@ import ray
 from .common import partial_groupby, read, read_arrow, round_cols
 
 
+def _distinct_per_row(
+    flat: pa.Array, parents: "np.ndarray", n_rows: int, mask: "np.ndarray | None" = None
+) -> "np.ndarray":
+    """Distinct count of ``flat`` values per parent row, vectorized:
+    dictionary-encode the flattened values, pack (row, value-code) into one
+    uint64 key, count unique keys per row — no Python set() per row
+    (VERDICT r3 cleanup). ``mask`` optionally restricts which flat entries
+    participate. Assumes < 2**32 rows per batch and distinct values per
+    batch (Ray blocks are far smaller)."""
+    codes = (
+        pc.dictionary_encode(flat)
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+    )
+    packed = (parents.astype(np.uint64) << np.uint64(32)) | codes
+    if mask is not None:
+        packed = packed[mask]
+    uniq = np.unique(packed)
+    return np.bincount(
+        (uniq >> np.uint64(32)).astype(np.int64), minlength=n_rows
+    ).astype(np.int64)
+
+
 def doc_token_stats(sf_dir: str) -> pd.DataFrame:
     """Per-doc token counts (whitespace tokenization) — Arrow kernels only."""
     ds = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), pattern=r"\s+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         n_tokens = pc.list_value_length(toks).cast(pa.int64())
-        # distinct per row, vectorized: dictionary-encode the flattened
-        # tokens, pack (row, token-code) into one uint64 key, count unique
-        # keys per row — no Python set() per row (VERDICT r3 cleanup)
         parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        codes = (
-            pc.dictionary_encode(pc.list_flatten(toks))
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
-        packed = (parents.astype(np.uint64) << np.uint64(32)) | codes
-        uniq = np.unique(packed)
         distinct = pa.array(
-            np.bincount(
-                (uniq >> np.uint64(32)).astype(np.int64), minlength=t.num_rows
-            ).astype(np.int64)
+            _distinct_per_row(pc.list_flatten(toks), parents, t.num_rows)
         )
         return pa.table(
             {
@@ -140,19 +149,7 @@ class QualityScorer:
             zero_copy_only=False
         )
         stop_n = np.bincount(parents[nonempty & is_stop], minlength=n)
-        # distinct per row: dictionary-encode tokens, pack (row, code) into
-        # one uint64 key, count unique keys per row (same trick as
-        # doc_token_stats)
-        codes = (
-            pc.dictionary_encode(flat)
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.uint64)
-        )
-        packed = (parents.astype(np.uint64) << np.uint64(32)) | codes
-        uniq_keys = np.unique(packed[nonempty])
-        uniq_n = np.bincount(
-            (uniq_keys >> np.uint64(32)).astype(np.int64), minlength=n
-        )
+        uniq_n = _distinct_per_row(flat, parents, n, mask=nonempty)
         chars = pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
         q6 = self._q6
         denom = np.maximum(n_words, 1)

@@ -853,3 +853,46 @@ def test_session_view_spec_validation():
     )
     assert s.view_key == ["repo"] and s.view_ts == "commit_ts"
     assert s.gap_minutes == 15.0
+
+
+def test_session_view_empty_partials_keep_schema(ray_session, tmp_path):
+    """All partials empty (fully-deleted upstream): the view Dataset must
+    keep its typed schema instead of coming back schemaless."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdir = tmp_path / "v" / "partials"
+    pdir.mkdir(parents=True)
+    t = pa.table(
+        {
+            "repo": pa.array([], pa.string()),
+            "session_start": pa.array([], pa.timestamp("us")),
+            "session_end": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(pdir / "b=00000.parquet"))
+    from etl_ray.engine.tables import read_session_view
+
+    ds = read_session_view(
+        {"key": ["repo"], "ts": "commit_ts", "gap_minutes": 30},
+        str(tmp_path / "v"),
+    )
+    assert set(ds.schema().names) == {
+        "repo", "session_start", "session_end", "n_events", "session_seq"
+    }
+    assert ds.count() == 0
+
+
+def test_session_gap_is_exact_not_unit_rounded():
+    """Fragment side and merge side must apply the SAME threshold: the gap
+    in ts units stays an exact float (1.5 s, not rounded to 2 s), or
+    session splits would depend on physical bucket placement."""
+    import pyarrow as pa
+
+    from etl_ray.engine.tables import _gap_in_ts_units
+
+    assert _gap_in_ts_units(pa.timestamp("s"), 0.025) == 1.5
+    assert _gap_in_ts_units(pa.timestamp("us"), 30) == 30 * 60_000_000
+    with pytest.raises(ValueError, match="timestamp"):
+        _gap_in_ts_units(pa.int64(), 30)
