@@ -270,6 +270,13 @@ def _multi_lake(sf_dir: str):
         TableSpec(
             name="activity_sessions", view="session", source="repo_files",
             view_key=["repo"], view_ts="commit_ts", gap_minutes=180,
+            # rider rollups inside each session row (the reference's
+            # FIRST/LAST_VALUE columns, ``insert_sessions.sql:36-43``)
+            view_aggs=[
+                {"out": "first_path", "col": "path", "fn": "first"},
+                {"out": "last_path", "col": "path", "fn": "last"},
+                {"out": "max_lsn", "col": "lsn", "fn": "max"},
+            ],
         ),
     ]
     lake = MultiTableLake(lake_dir, specs)
@@ -327,13 +334,17 @@ def cdc_session_view(sf_dir: str):
     ``insert_sessions.sql:36-83`` (gap sessionization fact table)."""
     lake = _multi_lake(sf_dir)
     df = lake.read_view("activity_sessions").to_pandas()
-    cols = ["repo", "session_seq", "session_start_us", "session_end_us", "n_events"]
+    cols = [
+        "repo", "session_seq", "session_start_us", "session_end_us",
+        "n_events", "first_path", "last_path", "max_lsn",
+    ]
     if df.empty:
         # Ray's to_pandas drops columns on an empty Dataset; rebuild typed
         import pandas as pd
 
+        str_cols = {"repo", "first_path", "last_path"}
         return pd.DataFrame(
-            {c: pd.Series([], dtype="object" if c == "repo" else "int64")
+            {c: pd.Series([], dtype="object" if c in str_cols else "int64")
              for c in cols}
         )
     from etl_ray.ops.common import epoch_us
@@ -344,6 +355,7 @@ def cdc_session_view(sf_dir: str):
         {
             "n_events": "int64", "session_seq": "int64",
             "session_start_us": "int64", "session_end_us": "int64",
+            "max_lsn": "int64",
         }
     )
     return df.sort_values(["repo", "session_start_us"]).reset_index(drop=True)[cols]
@@ -571,20 +583,20 @@ def _cdc_oracle_sql() -> dict[str, str]:
         """,
         "cdc_session_view": f"""
             WITH live AS (
-                SELECT repo, commit_ts FROM (
+                SELECT repo, path, lsn, commit_ts FROM (
                     SELECT *, row_number() OVER (
                         PARTITION BY repo, path ORDER BY lsn DESC) AS rn
                     FROM {wal_src}
                 )
                 WHERE rn = 1 AND op <> 'delete' AND commit_ts IS NOT NULL
             ), b AS (
-                SELECT repo, commit_ts,
+                SELECT repo, path, lsn, commit_ts,
                        CASE WHEN commit_ts - LAG(commit_ts) OVER (
                                 PARTITION BY repo ORDER BY commit_ts)
                             > INTERVAL 180 MINUTE THEN 1 ELSE 0 END AS brk
                 FROM live
             ), c AS (
-                SELECT repo, commit_ts,
+                SELECT repo, path, lsn, commit_ts,
                        SUM(brk) OVER (PARTITION BY repo ORDER BY commit_ts
                                       ROWS UNBOUNDED PRECEDING) AS g
                 FROM b
@@ -594,7 +606,10 @@ def _cdc_oracle_sql() -> dict[str, str]:
                             ORDER BY MIN(commit_ts)) AS BIGINT) AS session_seq,
                    CAST(epoch_us(MIN(commit_ts)) AS BIGINT) AS session_start_us,
                    CAST(epoch_us(MAX(commit_ts)) AS BIGINT) AS session_end_us,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   arg_min(path, commit_ts) AS first_path,
+                   arg_max(path, commit_ts) AS last_path,
+                   CAST(MAX(lsn) AS BIGINT) AS max_lsn
             FROM c GROUP BY repo, g ORDER BY repo, session_start_us
         """,
         "cdc_fold_state": f"""

@@ -192,6 +192,45 @@ class TableSpec:
                         f"session view {self.name!r}: ts column "
                         f"{self.view_ts!r} cannot also be a key column"
                     )
+                # optional rider aggregates: per-session rollup columns
+                # (the reference's FIRST/LAST_VALUE + AVG columns inside
+                # each session row, ``insert_sessions.sql:36-83``)
+                outs = []
+                for a in self.view_aggs:
+                    out, fn = a.get("out"), a.get("fn")
+                    if not out or not str(out).isidentifier():
+                        raise ValueError(
+                            f"session view {self.name!r}: bad rider name {out!r}"
+                        )
+                    if fn not in AGG_FNS:
+                        raise ValueError(
+                            f"session view {self.name!r}: rider fn must be "
+                            f"one of {', '.join(AGG_FNS)}, got {fn!r}"
+                        )
+                    if fn != "count" and not a.get("col"):
+                        raise ValueError(
+                            f"session view {self.name!r}: rider {out!r} "
+                            f"({fn}) needs col"
+                        )
+                    if fn in ("first", "last") and a.get("by") not in (
+                        None, self.view_ts,
+                    ):
+                        raise ValueError(
+                            f"session view {self.name!r}: rider {out!r} "
+                            "orders by the session ts column — omit 'by'"
+                        )
+                    outs.append(out)
+                reserved = {
+                    "session_start", "session_end", "n_events", "session_seq",
+                    *self.view_key,
+                }
+                dupes = {o for o in outs if outs.count(o) > 1}
+                if dupes or set(outs) & reserved:
+                    raise ValueError(
+                        f"session view {self.name!r}: duplicate/reserved "
+                        f"rider names "
+                        f"{sorted(dupes | (set(outs) & reserved))}"
+                    )
         elif not self.wal_dir:
             raise ValueError(f"base table {self.name!r} needs wal_dir")
         if self.dims:
@@ -856,11 +895,26 @@ def _agg_partial_of_state(
 
 
 def _sess_spec_of(spec: TableSpec) -> dict:
-    return {
+    out = {
         "key": list(spec.view_key),
         "ts": spec.view_ts,
         "gap_minutes": spec.gap_minutes,
     }
+    if spec.view_aggs:
+        # normalize first/last riders to an explicit order key (the ts
+        # column) so the partial/read sides share one spec shape
+        out["aggs"] = [
+            {**a, "by": spec.view_ts} if a.get("fn") in ("first", "last")
+            else dict(a)
+            for a in spec.view_aggs
+        ]
+    return out
+
+
+def _sess_rider_spec(sess_spec: dict) -> dict:
+    """The riders as a per-fragment aggregate spec — reuses the aggregate
+    view's partial-plan/extremal-encoding machinery verbatim."""
+    return {"group_by": ["__frag"], "aggs": sess_spec.get("aggs") or []}
 
 
 _TS_UNITS_PER_MINUTE = {
@@ -914,7 +968,11 @@ def _session_partial_of_state(
     from .apply import read_bucket_state
 
     key, ts = sess_spec["key"], sess_spec["ts"]
-    t = read_bucket_state(man, columns=[*key, ts, "deleted"])
+    rider_spec = _sess_rider_spec(sess_spec)
+    rider_cols = list(
+        dict.fromkeys(c for a in rider_spec["aggs"] if (c := a.get("col")))
+    )
+    t = read_bucket_state(man, columns=[*key, ts, *rider_cols, "deleted"])
     for c, typ in (col_types or {}).items():
         i = t.schema.get_field_index(c)
         if i >= 0 and t.schema.field(i).type != typ:
@@ -931,36 +989,39 @@ def _session_partial_of_state(
     )
     s = live.take(idx)
     n = s.num_rows
-    if n == 0:
-        out = pa.table(
-            {
-                **{k: pa.array([], s.schema.field(k).type) for k in key},
-                "session_start": pa.array([], s.schema.field(ts).type),
-                "session_end": pa.array([], s.schema.field(ts).type),
-                "n_events": pa.array([], pa.int64()),
-            }
-        )
-    else:
-        x = pc.cast(s[ts], pa.int64()).to_numpy(zero_copy_only=False)
-        new_frag = np.zeros(n, dtype=bool)
+    new_frag = np.zeros(n, dtype=bool)
+    if n:
         new_frag[0] = True
-        if n > 1:
-            brk = np.diff(x) > gap
-            for k in key:
-                brk |= _adjacent_neq(s[k])
-            new_frag[1:] = brk
-        starts = np.flatnonzero(new_frag)
-        ends = np.r_[starts[1:], n] - 1
-        out = pa.table(
-            {
-                **{k: pc.take(s[k], pa.array(starts)) for k in key},
-                "session_start": pc.take(s[ts], pa.array(starts)),
-                "session_end": pc.take(s[ts], pa.array(ends)),
-                "n_events": pa.array(
-                    np.diff(np.r_[starts, n]).astype(np.int64)
-                ),
-            }
+    if n > 1:
+        x = pc.cast(s[ts], pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.diff(x) > gap
+        for k in key:
+            brk |= _adjacent_neq(s[k])
+        new_frag[1:] = brk
+    first_rows = np.flatnonzero(new_frag)
+    starts = pa.array(first_rows)
+    ends = pa.array(np.r_[first_rows[1:], n] - 1)
+    cols = {
+        **{k: pc.take(s[k], starts) for k in key},
+        "session_start": pc.take(s[ts], starts),
+        "session_end": pc.take(s[ts], ends),
+        "n_events": pa.array(np.diff(np.r_[first_rows, n]).astype(np.int64)),
+    }
+    if rider_spec["aggs"]:
+        # per-fragment rider rollups through the aggregate-view machinery:
+        # same partial plan, same packed (order, value) cells for first/last
+        st = s.append_column(
+            "__frag", pa.array((np.cumsum(new_frag) - 1).astype(np.int64))
         )
+        for a in _extremal_fields(rider_spec):
+            st = st.append_column(
+                f"__enc_{a['out']}", _enc_extreme(st[a["by"]], st[a["col"]])
+            )
+        arrow_aggs, fields = _partial_plan(rider_spec)
+        g = st.group_by("__frag").aggregate(arrow_aggs).sort_by("__frag")
+        for partial_col, src_col, fn in fields:
+            cols[partial_col] = g["count_all" if src_col is None else f"{src_col}_{fn}"]
+    out = pa.table(cols)
     tmp = out_path + f".{os.getpid()}.tmp"
     pq.write_table(out, tmp, compression="zstd")
     os.replace(tmp, out_path)
@@ -1083,24 +1144,35 @@ def refresh_session_view(
     """Advance a session view to the upstream's committed tick — same
     incremental contract as ``refresh_agg_view`` (shared driver)."""
     ts = sess_spec["ts"]
+    rider_spec = _sess_rider_spec(sess_spec)
+
+    def validate(col_types):
+        _gap_in_ts_units(col_types[ts], sess_spec["gap_minutes"])
+        _agg_validate_types(rider_spec, col_types)
 
     return _refresh_partials(
         spec=sess_spec,
         upstream_dir=upstream_dir,
         view_dir=view_dir,
         kind="session",
-        need=list(dict.fromkeys([*sess_spec["key"], ts])),
+        need=list(
+            dict.fromkeys(
+                [
+                    *sess_spec["key"], ts,
+                    *(c for a in rider_spec["aggs"] if (c := a.get("col"))),
+                ]
+            )
+        ),
         optional=set(),
         missing_msg=lambda missing, upstream: (
             f"session-view columns {missing} not in the upstream table "
             f"(has: {', '.join(upstream.names)})"
         ),
-        validate_types=lambda col_types: _gap_in_ts_units(
-            col_types[ts], sess_spec["gap_minutes"]
-        ),
+        validate_types=validate,
         manifest_extra=lambda col_types: {
             "ts_unit": str(col_types[ts].unit),
             "ts_tz": col_types[ts].tz,
+            "enc_types": _enc_types_payload(rider_spec, col_types),
         },
         task_fn=_session_partial_of_state,
     )
@@ -1137,16 +1209,32 @@ def read_session_view(sess_spec: dict, view_dir: str):
     # NB: the Dataset's schema() is then correct, but Ray's to_pandas()
     # still yields zero COLUMNS for any empty dataset — pandas consumers of
     # a possibly-empty view must rebuild their frame (write_parquet is fine)
+    riders = _sess_rider_spec(sess_spec)["aggs"]
+    enc_types = _enc_types_load(mf.get("enc_types"))
     nonempty = [f for f in files if pq.read_metadata(f).num_rows > 0]
     if not nonempty:
-        if files:
-            schema = pq.read_schema(files[0])
-            cols = {n: pa.array([], schema.field(n).type) for n in schema.names}
-        else:
-            cols = {k: pa.array([], pa.string()) for k in key}
-            cols["session_start"] = pa.array([], ts_type)
-            cols["session_end"] = pa.array([], ts_type)
-            cols["n_events"] = pa.array([], pa.int64())
+        # typed empty in the FINAL (post-merge) shape; real types from the
+        # partial footer where one exists, declared-shape fallback otherwise
+        footer = pq.read_schema(files[0]) if files else None
+
+        def _ftype(name, default):
+            if footer is not None and name in footer.names:
+                return footer.field(name).type
+            return default
+
+        cols = {k: pa.array([], _ftype(k, pa.string())) for k in key}
+        cols["session_start"] = pa.array([], _ftype("session_start", ts_type))
+        cols["session_end"] = pa.array([], _ftype("session_end", ts_type))
+        cols["n_events"] = pa.array([], pa.int64())
+        for a in riders:
+            if a["fn"] == "mean":
+                cols[a["out"]] = pa.array([], pa.float64())
+            elif a["fn"] in ("first", "last"):
+                cols[a["out"]] = pa.array(
+                    [], enc_types.get(a["out"], pa.string())
+                )
+            else:
+                cols[a["out"]] = pa.array([], _ftype(a["out"], pa.int64()))
         cols["session_seq"] = pa.array([], pa.int64())
         return ray.data.from_arrow(pa.table(cols))
     ds = ray.data.read_parquet(nonempty, partitioning=None)
@@ -1174,13 +1262,40 @@ def read_session_view(sess_spec: dict, view_dir: str):
         kid = kc.cumsum()
         prev_end = df.groupby(kid)["session_end"].cummax().shift(1)
         df["__sid"] = (kc | ((df["session_start"] - prev_end) > gap)).cumsum()
-        out = df.groupby("__sid", as_index=False, sort=True).agg(
-            **{k: (k, "first") for k in key},
-            session_start=("session_start", "min"),
-            session_end=("session_end", "max"),
-            n_events=("n_events", "sum"),
-        )
+        agg_kwargs = {k: (k, "first") for k in key}
+        agg_kwargs["session_start"] = ("session_start", "min")
+        agg_kwargs["session_end"] = ("session_end", "max")
+        agg_kwargs["n_events"] = ("n_events", "sum")
+        for a in riders:
+            fn, out_name = a["fn"], a["out"]
+            if fn == "mean":
+                agg_kwargs[f"__s_{out_name}"] = (f"__s_{out_name}", "sum")
+                agg_kwargs[f"__c_{out_name}"] = (f"__c_{out_name}", "sum")
+            elif fn in ("count", "sum"):
+                agg_kwargs[out_name] = (out_name, "sum")
+            elif fn in ("first", "last"):
+                # winner-of-winners: lexicographic min/max of the packed
+                # (order, value) cell — bytes compare elementwise in pandas
+                agg_kwargs[f"__e_{out_name}"] = (
+                    f"__e_{out_name}", "min" if fn == "first" else "max"
+                )
+            else:
+                agg_kwargs[out_name] = (out_name, fn)
+        out = df.groupby("__sid", as_index=False, sort=True).agg(**agg_kwargs)
         out = out.drop(columns="__sid")
+        for a in riders:
+            fn, out_name = a["fn"], a["out"]
+            if fn == "mean":
+                c = out.pop(f"__c_{out_name}").astype("float64")
+                s_ = out.pop(f"__s_{out_name}").astype("float64")
+                out[out_name] = np.where(c == 0.0, np.nan, s_ / np.where(c == 0.0, 1.0, c))
+            elif fn in ("first", "last"):
+                e = pa.array(out.pop(f"__e_{out_name}").tolist(), pa.binary())
+                out[out_name] = _dec_extreme(
+                    e, enc_types.get(out_name, pa.string())
+                ).to_pandas()
+            if a.get("default") is not None and out[out_name].isna().any():
+                out[out_name] = out[out_name].fillna(a["default"])
         out["n_events"] = out["n_events"].astype("int64")
         out["session_seq"] = (
             out.groupby(key, dropna=False).cumcount() + 1

@@ -896,3 +896,86 @@ def test_session_gap_is_exact_not_unit_rounded():
     assert _gap_in_ts_units(pa.timestamp("us"), 30) == 30 * 60_000_000
     with pytest.raises(ValueError, match="timestamp"):
         _gap_in_ts_units(pa.int64(), 30)
+
+
+def test_session_view_riders_match_oracle(ray_session, small_wal, tmp_path):
+    """Rider aggregates inside each session row (sum/mean/min/max +
+    first/last by the session ts) equal DuckDB's per-session-group
+    arg_min/arg_max/AVG over the same windowed sessionization."""
+    gap = 45
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8),
+            TableSpec(
+                name="sessions", view="session", source="repo_files",
+                view_key=["repo"], view_ts="commit_ts", gap_minutes=gap,
+                view_aggs=[
+                    {"out": "first_path", "col": "path", "fn": "first"},
+                    {"out": "last_path", "col": "path", "fn": "last"},
+                    {"out": "mean_lsn", "col": "lsn", "fn": "mean"},
+                    {"out": "max_lsn", "col": "lsn", "fn": "max"},
+                    {"out": "changes", "fn": "count"},
+                ],
+            ),
+        ],
+    )
+    lake.replay_all(segments_per_tick=1)
+    got = (
+        lake.read_view("sessions")
+        .to_pandas()
+        .sort_values(["repo", "session_start"])
+        .reset_index(drop=True)
+    )
+    files = ", ".join(f"'{f}'" for f in small_wal.segment_files)
+    exp = duckdb.sql(f"""
+        WITH live AS (
+            SELECT repo, path, lsn, commit_ts FROM (
+                SELECT repo, path, lsn, commit_ts, op,
+                       row_number() OVER (PARTITION BY repo, path
+                                          ORDER BY lsn DESC) AS rn
+                FROM read_parquet([{files}], union_by_name=true))
+            WHERE rn = 1 AND op <> 'delete' AND commit_ts IS NOT NULL
+        ), b AS (
+            SELECT *, CASE WHEN commit_ts - LAG(commit_ts) OVER (
+                          PARTITION BY repo ORDER BY commit_ts)
+                      > INTERVAL {gap} MINUTE THEN 1 ELSE 0 END AS brk
+            FROM live
+        ), c AS (
+            SELECT *, SUM(brk) OVER (PARTITION BY repo ORDER BY commit_ts
+                                     ROWS UNBOUNDED PRECEDING) AS g
+            FROM b
+        )
+        SELECT repo,
+               MIN(commit_ts) AS session_start,
+               MAX(commit_ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               arg_min(path, commit_ts) AS first_path,
+               arg_max(path, commit_ts) AS last_path,
+               AVG(lsn) AS mean_lsn,
+               CAST(MAX(lsn) AS BIGINT) AS max_lsn,
+               CAST(COUNT(*) AS BIGINT) AS changes,
+               CAST(ROW_NUMBER() OVER (PARTITION BY repo
+                                       ORDER BY MIN(commit_ts)) AS BIGINT)
+                   AS session_seq
+        FROM c GROUP BY repo, g ORDER BY repo, session_start
+    """).df()
+    got = got[exp.columns.tolist()]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_session_rider_validation():
+    base = dict(name="s", view="session", source="t",
+                view_key=["repo"], view_ts="commit_ts")
+    with pytest.raises(ValueError, match="rider fn"):
+        TableSpec(**base, view_aggs=[{"out": "x", "col": "a", "fn": "median"}]).validate()
+    with pytest.raises(ValueError, match="needs col"):
+        TableSpec(**base, view_aggs=[{"out": "x", "fn": "sum"}]).validate()
+    with pytest.raises(ValueError, match="omit 'by'"):
+        TableSpec(
+            **base, view_aggs=[{"out": "x", "col": "a", "fn": "first", "by": "lsn"}]
+        ).validate()
+    with pytest.raises(ValueError, match="duplicate/reserved"):
+        TableSpec(
+            **base, view_aggs=[{"out": "n_events", "col": "a", "fn": "sum"}]
+        ).validate()
