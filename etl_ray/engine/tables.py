@@ -1147,8 +1147,33 @@ def refresh_session_view(
     rider_spec = _sess_rider_spec(sess_spec)
 
     def validate(col_types):
+        import pyarrow as pa
+
         _gap_in_ts_units(col_types[ts], sess_spec["gap_minutes"])
         _agg_validate_types(rider_spec, col_types)
+        # the cross-fragment reduce runs in pandas, whose object-dtype
+        # min/max chokes on the None an all-null fragment produces — string
+        # values must ride first/last (packed cells carry nulls safely)
+        for a in rider_spec["aggs"]:
+            fn = a["fn"]
+            if fn not in ("sum", "mean", "min", "max"):
+                continue
+            t = col_types[a["col"]]
+            ok = (
+                pa.types.is_integer(t)
+                or pa.types.is_floating(t)
+                or pa.types.is_boolean(t)
+                or (
+                    fn in ("min", "max")
+                    and (pa.types.is_timestamp(t) or pa.types.is_date(t))
+                )
+            )
+            if not ok:
+                kinds = "numeric/temporal" if fn in ("min", "max") else "numeric"
+                raise ValueError(
+                    f"session rider {a['out']!r}: {fn} needs a {kinds} "
+                    f"column, got {t} (use first/last for string values)"
+                )
 
     return _refresh_partials(
         spec=sess_spec,

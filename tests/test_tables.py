@@ -979,3 +979,23 @@ def test_session_rider_validation():
         TableSpec(
             **base, view_aggs=[{"out": "n_events", "col": "a", "fn": "sum"}]
         ).validate()
+
+
+def test_session_rider_string_minmax_rejected(ray_session, small_wal, tmp_path):
+    """min/max riders over string columns are rejected at refresh (the
+    pandas cross-fragment reduce cannot order None) — first/last is the
+    supported path for string values."""
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=4),
+            TableSpec(
+                name="sessions", view="session", source="repo_files",
+                view_key=["repo"], view_ts="commit_ts",
+                view_aggs=[{"out": "min_path", "col": "path", "fn": "min"}],
+            ),
+        ],
+    )
+    lake.engine("repo_files").tick(1)
+    with pytest.raises(ValueError, match="first/last for string values"):
+        lake.tick()
