@@ -999,3 +999,30 @@ def test_session_rider_string_minmax_rejected(ray_session, small_wal, tmp_path):
     lake.engine("repo_files").tick(1)
     with pytest.raises(ValueError, match="first/last for string values"):
         lake.tick()
+
+
+def test_session_view_over_delta_upstream(ray_session, small_wal, tmp_path):
+    """Session fragments read through the delta-chain merge-on-read path
+    (state_mode=delta upstream) equal the same DuckDB oracle."""
+    gap = 45
+    lake = MultiTableLake(
+        str(tmp_path / "ml"),
+        [
+            TableSpec(
+                name="repo_files", wal_dir=small_wal.wal_dir, num_buckets=8,
+                state_mode="delta", delta_threshold=64,
+            ),
+            TableSpec(
+                name="sessions", view="session", source="repo_files",
+                view_key=["repo"], view_ts="commit_ts", gap_minutes=gap,
+            ),
+        ],
+    )
+    lake.replay_all(segments_per_tick=1)
+    # delta mode actually produced chains (not just bases)
+    assert glob.glob(
+        os.path.join(lake.table_dir("repo_files"), "buckets", "b=*", "*.delta.parquet")
+    ), "expected delta files under the upstream buckets"
+    got = _sessions_df(lake, "sessions")
+    exp = _oracle_sessions(small_wal, gap)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
