@@ -1264,11 +1264,16 @@ def read_session_view(sess_spec: dict, view_dir: str):
         return ray.data.from_arrow(pa.table(cols))
     ds = ray.data.read_parquet(nonempty, partitioning=None)
 
+    # merge-group count scales with the upstream bucket count: fragments
+    # are tiny relative to state, but a FIXED group count would make each
+    # merge task's input grow linearly with the lake — one group per
+    # upstream bucket keeps per-task work bounded at any scale
+    n_groups = max(_SESSION_MERGE_BUCKETS, len(nonempty))
+
     def tag(t: pa.Table) -> pa.Table:
         h = stable_hash64(*(pc.cast(t[k], pa.string()) for k in key))
         return t.append_column(
-            "__b",
-            pa.array((h % np.uint64(_SESSION_MERGE_BUCKETS)).astype(np.int32)),
+            "__b", pa.array((h % np.uint64(n_groups)).astype(np.int32))
         )
 
     gap = pd.Timedelta(minutes=sess_spec["gap_minutes"])
